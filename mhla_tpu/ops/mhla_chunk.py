@@ -1,0 +1,190 @@
+"""Causal chunked MHLA operator (jnp reference + XLA-optimized form).
+
+Token-level Multi-Head Linear Attention (MHLA, arXiv:2601.07832): split the
+sequence into chunks of ``chunk_size`` tokens, keep one KV state
+``S_j = k_j^T v_j  (D_k x D_v)`` per chunk, and mix the chunk states with a
+learned lower-triangular chunk-by-chunk mixing matrix ``M`` before queries
+read them out:
+
+    o_i = q_i @ ( sum_{j<i} M[i, j] * S_j )  +  M[i, i] * ( tril(q_i k_i^T) @ v_i )
+
+Semantics match the reference training op
+(``mhla_nlp/fla/ops/mhla/naive.py:11-83``, ``naive_chunk_simple_mhla_fixed``):
+``scale = D_k**-0.5`` applied to q, fp32 compute, pad-to-chunk, the diagonal
+M[i, i] scales the intra-chunk causal term.
+
+Known reference drift (documented, not replicated): the reference *recurrent*
+op (``naive.py:88-142``) disagrees with its own chunked op — it inserts a
+zero state at slot 0 which shifts every past chunk state by one and drops the
+most recent completed chunk from the mixing sum, and it returns a final
+state that is never updated in the loop. The chunked op is the training
+path, so here the chunked math above is the single source of truth and the
+recurrent op (``mhla_recurrent.py``) is exactly equivalent to it.
+
+On TPU everything below decomposes into large batched matmuls that XLA maps
+straight onto the MXU; the Pallas kernel in
+``mhla_tpu/kernels/mhla_chunk_pallas.py`` additionally fuses the intra-chunk
+attention so the [.., C, C] score tile never reaches HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_CHUNK_SIZE = 64
+
+
+def _pad_to_chunks(x: jax.Array, chunk_size: int) -> jax.Array:
+    t = x.shape[1]
+    pad = (-t) % chunk_size
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    return x
+
+
+def prepare_mixing_matrix(mixing_matrix: jax.Array, num_chunks: int) -> jax.Array:
+    """Slice/squeeze a mixing matrix to a dense fp32 [N, N]."""
+    m = jnp.asarray(mixing_matrix)
+    m = m.reshape(m.shape[0], m.shape[1])
+    if m.shape[0] < num_chunks:
+        raise ValueError(
+            f"mixing_matrix has {m.shape[0]} chunk slots but the sequence spans "
+            f"{num_chunks} chunks; increase the matrix size (num_slots >= "
+            f"ceil(T / chunk_size))."
+        )
+    return m[:num_chunks, :num_chunks].astype(jnp.float32)
+
+
+def init_causal_mixing_matrix(num_chunks: int) -> jax.Array:
+    """Row-normalized lower-triangular init: M[i, j] = 1/(i+1) for j <= i.
+
+    Matches the reference parameter init (``fla/layers/mhla.py:196-200``).
+    """
+    tri = jnp.tril(jnp.ones((num_chunks, num_chunks), dtype=jnp.float32))
+    row_counts = jnp.arange(1, num_chunks + 1, dtype=jnp.float32)[:, None]
+    return tri / row_counts
+
+
+def clamp_causal_mixing_matrix(m: jax.Array, min_val: float = 1e-5) -> jax.Array:
+    """Project the mixing matrix onto [min_val, 1] * tril.
+
+    The reference clamps parameter *data* in-place each forward
+    (``fla/layers/mhla.py:237``); in JAX this is a pure projection applied to
+    the parameter value before use (and/or after the optimizer step).
+    """
+    return jnp.tril(jnp.clip(m, min_val, 1.0))
+
+
+@partial(jax.jit, static_argnames=("chunk_size", "output_final_state"))
+def mhla_chunk(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mixing_matrix: jax.Array,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    output_final_state: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Causal chunked MHLA.
+
+    Args:
+      q, k: [B, T, H, Dk]  (post feature-map / RoPE)
+      v:    [B, T, H, Dv]
+      mixing_matrix: [L, L] (or [L, L, 1, 1, 1, 1]); rows/cols beyond the
+        actual chunk count are ignored. Must satisfy L >= ceil(T/chunk_size).
+      chunk_size: tokens per chunk (reference default 64).
+      output_final_state: also return the per-chunk state stack
+        [B, H, N, Dk, Dv] (the decode cache layout).
+
+    Returns:
+      (o [B, T, H, Dv], states or None)
+    """
+    in_dtype = q.dtype
+    b, t, h, dk = q.shape
+    dv = v.shape[-1]
+    scale = dk**-0.5
+
+    q = _pad_to_chunks(q.astype(jnp.float32), chunk_size)
+    k = _pad_to_chunks(k.astype(jnp.float32), chunk_size)
+    v = _pad_to_chunks(v.astype(jnp.float32), chunk_size)
+    n = q.shape[1] // chunk_size
+
+    m = prepare_mixing_matrix(mixing_matrix, n)
+    m_strict = jnp.tril(m, k=-1)  # inter-chunk weights
+    m_diag = jnp.diagonal(m)  # intra-chunk weights
+
+    # [B, H, N, C, D]
+    def to_chunks(x):
+        return x.reshape(b, n, chunk_size, h, x.shape[-1]).transpose(0, 3, 1, 2, 4)
+
+    q, k, v = to_chunks(q) , to_chunks(k), to_chunks(v)
+    q = q * scale
+
+    # Per-chunk KV states: S_j = k_j^T v_j  -> [B, H, N, Dk, Dv]  (MXU)
+    states = jnp.einsum("bhnck,bhncv->bhnkv", k, v)
+
+    # Mix past states: S~_i = sum_{j<i} M[i,j] S_j  — one [N,N]@[N,Dk*Dv] matmul
+    mixed = jnp.einsum("ij,bhjkv->bhikv", m_strict, states)
+
+    # Inter-chunk read-out  (MXU)
+    o_inter = jnp.einsum("bhnck,bhnkv->bhncv", q, mixed)
+
+    # Intra-chunk causal attention, weighted by M[i, i]
+    attn = jnp.einsum("bhnck,bhnmk->bhncm", q, k)
+    tril = jnp.tril(jnp.ones((chunk_size, chunk_size), dtype=attn.dtype))
+    attn = attn * tril
+    o_intra = jnp.einsum("bhncm,bhnmv->bhncv", attn, v) * m_diag[None, None, :, None, None]
+
+    o = o_inter + o_intra
+    o = o.transpose(0, 2, 3, 1, 4).reshape(b, n * chunk_size, h, dv)[:, :t]
+    return o.astype(in_dtype), (states if output_final_state else None)
+
+
+def mhla_chunk_ref(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mixing_matrix: jax.Array,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    output_final_state: bool = False,
+):
+    """Loop-form oracle (python loop over chunks) used only in tests."""
+    in_dtype = q.dtype
+    b, t, h, dk = q.shape
+    dv = v.shape[-1]
+    scale = dk**-0.5
+
+    q = _pad_to_chunks(q.astype(jnp.float32), chunk_size)
+    k = _pad_to_chunks(k.astype(jnp.float32), chunk_size)
+    v = _pad_to_chunks(v.astype(jnp.float32), chunk_size)
+    n = q.shape[1] // chunk_size
+    m = prepare_mixing_matrix(mixing_matrix, n)
+
+    def chunk_of(x, i):
+        return x[:, i * chunk_size:(i + 1) * chunk_size]  # [B, C, H, D]
+
+    states = []
+    for j in range(n):
+        kj, vj = chunk_of(k, j), chunk_of(v, j)
+        states.append(jnp.einsum("bchk,bchv->bhkv", kj, vj))
+
+    tril = jnp.tril(jnp.ones((chunk_size, chunk_size), dtype=jnp.float32))
+    outs = []
+    for i in range(n):
+        qi = chunk_of(q, i) * scale
+        ki, vi = chunk_of(k, i), chunk_of(v, i)
+        prefix = sum(
+            (m[i, j] * states[j] for j in range(i)),
+            start=jnp.zeros((b, h, dk, dv), jnp.float32),
+        )
+        o_inter = jnp.einsum("bchk,bhkv->bchv", qi, prefix)
+        attn = jnp.einsum("bchk,bdhk->bhcd", qi, ki) * tril
+        o_intra = m[i, i] * jnp.einsum("bhcd,bdhv->bchv", attn, vi)
+        outs.append(o_inter + o_intra)
+    o = jnp.concatenate(outs, axis=1)[:, :t]
+    if output_final_state:
+        return o.astype(in_dtype), jnp.stack(states, axis=2)
+    return o.astype(in_dtype), None

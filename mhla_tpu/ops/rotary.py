@@ -1,0 +1,112 @@
+"""Rotary position embeddings (1D for LM; 3D for video).
+
+1D: GPT-NeoX-style (non-interleaved rotate-half) matching the reference fla
+``RotaryEmbedding`` (``mhla_nlp/fla/modules/rotary.py``) semantics used by the
+causal MHLA layer: applied to the full head_k_dim of q and k, with a
+``seqlen_offset`` for decode. On TPU this is left to XLA fusion (the
+reference's Triton kernel buys nothing here).
+
+3D: frame/height/width factorized rotary for video tokens, matching
+``mhla_videogen/.../wan/model.py:140-178`` (``rope_params``/``rope_apply``).
+The reference computes this in complex float64; TPU has no fast fp64, so we
+compute in fp32 with the sin/cos formulation (validated against the fp64
+reference in tests — see SURVEY.md section 5 numerics notes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rotary_freqs(dim: int, base: float = 10000.0) -> np.ndarray:
+    """Inverse frequencies [dim/2]."""
+    return 1.0 / (base ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+
+
+def rotary_cos_sin(
+    seq_len: int, dim: int, base: float = 10000.0, dtype=jnp.float32
+) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables [seq_len, dim/2] (fp32 compute)."""
+    inv = rotary_freqs(dim, base)
+    t = np.arange(seq_len, dtype=np.float64)
+    freqs = np.outer(t, inv)  # [T, dim/2]
+    return jnp.asarray(np.cos(freqs), dtype), jnp.asarray(np.sin(freqs), dtype)
+
+
+def apply_rotary(
+    x: jax.Array, cos: jax.Array, sin: jax.Array, offset: int | jax.Array = 0
+) -> jax.Array:
+    """Apply rotate-half rotary to x [B, T, H, D] using tables [>=T+offset, D/2]."""
+    t = x.shape[1]
+    d2 = cos.shape[-1]
+    cos_t = jax.lax.dynamic_slice_in_dim(cos, offset, t, axis=0)[None, :, None, :]
+    sin_t = jax.lax.dynamic_slice_in_dim(sin, offset, t, axis=0)[None, :, None, :]
+    x1, x2 = x[..., :d2], x[..., d2 : 2 * d2]
+    rot = jnp.concatenate([x1 * cos_t - x2 * sin_t, x2 * cos_t + x1 * sin_t], axis=-1)
+    if x.shape[-1] > 2 * d2:  # partial-dim rotary: pass the tail through
+        rot = jnp.concatenate([rot, x[..., 2 * d2 :]], axis=-1)
+    return rot.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# 3D rotary (video)
+# ---------------------------------------------------------------------------
+
+def rope_params_3d(
+    max_pos: int, dim: int, theta: float = 10000.0
+) -> np.ndarray:
+    """Per-axis complex-free rotary table: returns angles [max_pos, dim/2].
+
+    Matches the reference ``rope_params`` (``wan/model.py:140-148``):
+    freqs = outer(arange(max_pos), 1/theta^(arange(0, dim, 2)/dim)).
+    """
+    inv = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+    return np.outer(np.arange(max_pos, dtype=np.float64), inv)
+
+
+def rope_angles_3d(
+    grid: Sequence[int], head_dim: int, theta: float = 10000.0, max_pos: int = 1024
+) -> np.ndarray:
+    """Full angle table for an (F, H, W) token grid -> [F*H*W, head_dim/2].
+
+    The half-dim c = head_dim // 2 is split [c - 2*(c//3), c//3, c//3] over
+    (frame, height, width) axes (``wan/model.py:150-156``, ``mhla_utils.py:132``).
+    """
+    f, h, w = grid
+    c = head_dim // 2
+    cf, ch, cw = c - 2 * (c // 3), c // 3, c // 3
+    ang_f = rope_params_3d(max_pos, 2 * cf, theta)[:f]  # [F, cf]
+    ang_h = rope_params_3d(max_pos, 2 * ch, theta)[:h]  # [H, ch]
+    ang_w = rope_params_3d(max_pos, 2 * cw, theta)[:w]  # [W, cw]
+    out = np.concatenate(
+        [
+            np.broadcast_to(ang_f[:, None, None, :], (f, h, w, cf)),
+            np.broadcast_to(ang_h[None, :, None, :], (f, h, w, ch)),
+            np.broadcast_to(ang_w[None, None, :, :], (f, h, w, cw)),
+        ],
+        axis=-1,
+    )
+    return out.reshape(f * h * w, c)
+
+
+@partial(jax.jit, static_argnames=())
+def apply_rotary_interleaved(x: jax.Array, angles: jax.Array) -> jax.Array:
+    """Interleaved (complex-pair) rotary: x [B, T, H, D], angles [T, D/2].
+
+    Treats consecutive feature pairs (x[2i], x[2i+1]) as complex numbers and
+    multiplies by exp(i * angle) — the jnp equivalent of the reference's
+    ``view_as_complex`` path (``mhla_utils.py:127-156``), in fp32.
+    """
+    in_dtype = x.dtype
+    b, t, h, d = x.shape
+    xf = x.astype(jnp.float32).reshape(b, t, h, d // 2, 2)
+    cos = jnp.cos(angles).astype(jnp.float32)[None, :, None, :]
+    sin = jnp.sin(angles).astype(jnp.float32)[None, :, None, :]
+    re = xf[..., 0] * cos - xf[..., 1] * sin
+    im = xf[..., 0] * sin + xf[..., 1] * cos
+    return jnp.stack([re, im], axis=-1).reshape(b, t, h, d).astype(in_dtype)
