@@ -1,0 +1,114 @@
+"""Softmax attention baselines (the drop-in alternatives to MHLA).
+
+Covers the reference's softmax layers behind one module: the fla hybrid
+``Attention`` (``mhla_nlp/fla/layers/attn.py``, causal + RoPE + GQA +
+optional sliding window), the timm ``FlashAttention`` block attention
+(``mhla_image_classification/.../timm_block/self_attn.py``), and
+``WanSelfAttention`` (``mhla_videogen/.../wan/model.py:211-287``).
+
+The compute path is ``jax.nn.dot_product_attention`` (XLA flash-pattern
+fusion on TPU); ``mhla_tpu.kernels.flash_attention`` provides the Pallas
+kernel used at long sequence lengths.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import apply_rotary, rotary_cos_sin
+from .norms import RMSNorm
+
+
+def sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = False,
+    window: Optional[int] = None,
+) -> jax.Array:
+    """Scaled dot-product attention over [B, T, H, D] tensors."""
+    local_window = (window - 1, 0) if window else None
+    return jax.nn.dot_product_attention(
+        q, k, v, is_causal=causal, local_window_size=local_window
+    )
+
+
+class SelfAttention(nn.Module):
+    """Multi-head softmax self-attention with optional causality/RoPE/GQA."""
+
+    hidden_size: int
+    num_heads: int
+    num_kv_heads: Optional[int] = None
+    causal: bool = True
+    qkv_bias: bool = False
+    qk_norm: bool = False
+    window_size: Optional[int] = None
+    rope: bool = True
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 4096
+    norm_eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, T, hidden]
+        kv_cache: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+        use_cache: bool = False,
+    ):
+        b, t, _ = x.shape
+        h = self.num_heads
+        kv_h = self.num_kv_heads or h
+        d = self.hidden_size // h
+
+        dense = lambda n, name: nn.Dense(  # noqa: E731
+            n, use_bias=self.qkv_bias, dtype=self.dtype, name=name
+        )
+        q = dense(h * d, "q_proj")(x).reshape(b, t, h, d)
+        k = dense(kv_h * d, "k_proj")(x).reshape(b, t, kv_h, d)
+        v = dense(kv_h * d, "v_proj")(x).reshape(b, t, kv_h, d)
+
+        if self.qk_norm:
+            q = RMSNorm(name="q_norm", eps=self.norm_eps)(q)
+            k = RMSNorm(name="k_norm", eps=self.norm_eps)(k)
+
+        offset = 0
+        if kv_cache is not None:
+            offset = kv_cache[2]
+
+        if self.rope:
+            cos, sin = rotary_cos_sin(
+                self.max_position_embeddings, d, self.rope_theta
+            )
+            q = apply_rotary(q, cos, sin, offset=offset)
+            k = apply_rotary(k, cos, sin, offset=offset)
+
+        new_cache = None
+        if kv_cache is not None:
+            k_buf, v_buf, _ = kv_cache
+            k_buf = jax.lax.dynamic_update_slice_in_dim(k_buf, k, offset, axis=1)
+            v_buf = jax.lax.dynamic_update_slice_in_dim(v_buf, v, offset, axis=1)
+            mask_len = k_buf.shape[1]
+            pos = jnp.arange(mask_len)[None, :] <= (offset + t - 1)
+            bias = jnp.where(pos, 0.0, -jnp.inf).astype(jnp.float32)
+            o = jax.nn.dot_product_attention(
+                q, k_buf, v_buf, bias=bias[None, None, :, :].repeat(t, axis=2)
+            )
+            new_cache = (k_buf, v_buf, offset + t)
+        else:
+            if kv_h != h:
+                k = jnp.repeat(k, h // kv_h, axis=2)
+                v = jnp.repeat(v, h // kv_h, axis=2)
+            o = sdpa(q, k, v, causal=self.causal, window=self.window_size)
+            if use_cache:
+                new_cache = (k, v, t)
+
+        o = o.reshape(b, t, h * d)
+        o = nn.Dense(
+            self.hidden_size, use_bias=False, dtype=self.dtype, name="o_proj"
+        )(o)
+        return o, new_cache

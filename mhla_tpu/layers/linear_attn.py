@@ -1,0 +1,123 @@
+"""Global linear-attention baselines (the ablation points around MHLA).
+
+- :class:`LinearAttention2D`: ViT baseline — full-dim RMSNorm on q/k, relu
+  feature map, global KV state, per-token normalizer
+  (``mhla_image_classification/models/modules/attention/linear_attn.py:51-93``).
+- :class:`WanLinearAttention`: video baseline — relu kernel, optional
+  ``power`` sharpening with norm preservation, optional RoPE after the
+  kernel, normalizer from the *mean* key (``wan/model.py:290-426``,
+  rope_after branch :360-400).
+
+These exist for parity/ablation: the reference shows plain linear attention
+collapses at video scale (README table) — MHLA is the fix.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import rope_angles_3d
+from ..ops.rotary import apply_rotary_interleaved
+from .norms import RMSNorm
+
+
+def linear_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, eps: float = 1e-6
+) -> jax.Array:
+    """Normalized global linear attention over [B, T, H, D] (fp32 compute)."""
+    f32 = jnp.float32
+    q, k, v = q.astype(f32), k.astype(f32), v.astype(f32)
+    kv = jnp.einsum("bthk,bthv->bhkv", k, v)
+    out = jnp.einsum("bthk,bhkv->bthv", q, kv)
+    z = jnp.einsum("bthk,bhk->bth", q, jnp.sum(k, axis=1)) + eps
+    return out / z[..., None]
+
+
+class LinearAttention2D(nn.Module):
+    dim: int
+    num_heads: int = 8
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: [B, T, dim] flat tokens."""
+        b, t, _ = x.shape
+        h = self.num_heads
+        d = self.dim // h
+        qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = RMSNorm(name="q_norm", eps=self.eps)(q)
+        k = RMSNorm(name="k_norm", eps=self.eps)(k)
+        q, k = jax.nn.relu(q), jax.nn.relu(k)
+        q, k, v = (z.reshape(b, t, h, d) for z in (q, k, v))
+        out = linear_attention(q, k, v, self.eps).astype(x.dtype)
+        out = out.reshape(b, t, self.dim)
+        return nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="to_out")(out)
+
+
+class WanLinearAttention(nn.Module):
+    dim: int
+    num_heads: int = 12
+    qk_norm: bool = True
+    rope_after: bool = True
+    without_rope: bool = False
+    power: float = 1.0
+    eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_max_pos: int = 1024
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, grid: Tuple[int, int, int]) -> jax.Array:
+        """x: [B, F*H*W, dim]; grid: static (F, H, W)."""
+        b, t, _ = x.shape
+        h = self.num_heads
+        d = self.dim // h
+
+        dense = lambda name: nn.Dense(  # noqa: E731
+            self.dim, use_bias=True, dtype=self.dtype, name=name
+        )
+        q, k, v = dense("q")(x), dense("k")(x), dense("v")(x)
+        if self.qk_norm:
+            q = RMSNorm(name="norm_q", eps=self.eps)(q)
+            k = RMSNorm(name="norm_k", eps=self.eps)(k)
+        q = q.reshape(b, t, h, d).astype(jnp.float32)
+        k = k.reshape(b, t, h, d).astype(jnp.float32)
+        v = v.reshape(b, t, h, d).astype(jnp.float32)
+
+        angles = jnp.asarray(
+            rope_angles_3d(grid, d, self.rope_theta, self.rope_max_pos), jnp.float32
+        )
+
+        def sharpen(z):
+            if self.power == 1.0:
+                return z
+            norm = jnp.linalg.norm(z, axis=-1, keepdims=True)
+            zp = z**self.power
+            return zp / (jnp.linalg.norm(zp, axis=-1, keepdims=True) + 1e-6) * norm
+
+        if self.rope_after:
+            q, k = jax.nn.relu(q), jax.nn.relu(k)
+            q, k = sharpen(q), sharpen(k)
+            q_rope = q if self.without_rope else apply_rotary_interleaved(q, angles)
+            k_rope = k if self.without_rope else apply_rotary_interleaved(k, angles)
+            # normalizer uses the *mean* no-rope key (reference :381-386)
+            z = 1.0 / (
+                jnp.einsum("bthk,bhk->bth", q, jnp.mean(k, axis=1)) + 1e-6
+            )
+            kv = jnp.einsum("bthk,bthv->bhkv", k_rope, v) / t
+            out = jnp.einsum("bthk,bhkv->bthv", q_rope, kv) * z[..., None]
+        else:
+            q = apply_rotary_interleaved(q, angles)
+            k = apply_rotary_interleaved(k, angles)
+            q, k = jax.nn.relu(q), jax.nn.relu(k)
+            q, k = sharpen(q), sharpen(k)
+            out = linear_attention(q, k, v, self.eps)
+
+        out = out.astype(x.dtype).reshape(b, t, self.dim)
+        return dense("o")(out)

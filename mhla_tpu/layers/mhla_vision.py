@@ -1,0 +1,269 @@
+"""Non-causal MHLA attention layers for vision models.
+
+- :class:`MHLA2D` unifies the ViT variant (``MHLA_Normed_Torch``,
+  ``mhla_image_classification/.../attention/mhla.py:141-289``: fixed
+  distance-derived mixing, 5x5 LePE) and the DiT variant (``MHLA4DiT``,
+  ``mhla_dit/mhla/mhla.py:141-275``: trainable clamped mixing, 3x3 LePE,
+  qkv bias) behind flags.
+- :class:`MHLA3D` is the video variant (``MHLA_Video_Uni``,
+  ``mhla_videogen/.../wan/mhla_utils.py:158-366``): separate q/k/v/g
+  projections with bias, full-dim RMSNorm on q/k, relu feature map, 3D RoPE
+  applied *after* the feature map, no-RoPE k for the normalizer, gated
+  (SiLU) output with per-head RMSNorm.
+
+Inputs are block-major: [B, N_blocks, C_block, dim] for 2D; the 3D layer
+takes flat tokens [B, T, dim] plus the (F, H, W) grid and performs the
+3D block rearrange internally.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops import block_mixing_matrix, rope_angles_3d
+from ..ops.mhla_blockwise import mhla_blockwise_mh
+from ..ops.rotary import apply_rotary_interleaved
+from .norms import LayerNorm, RMSNorm
+
+
+class BlockMixing(nn.Module):
+    """The [N, N] block-state mixing weights.
+
+    Fixed (buffer) or trainable (parameter initialized from the distance
+    transform). The reference clamps the trainable DiT matrix to [0, 1]
+    after each optimizer step (``mhla_dit/train.py:308-310``); here the
+    clamp is a projection applied at read time, which keeps the forward
+    within [0, 1] regardless of trainer wiring.
+    """
+
+    blocks_layout: Sequence[int]
+    transform: str = "linear"
+    local_thres: float = 1.5
+    exp_sigma: float = 3.0
+    trainable: bool = False
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        init = block_mixing_matrix(
+            tuple(self.blocks_layout), self.transform, self.local_thres, self.exp_sigma
+        )
+        if self.trainable:
+            w = self.param("weight", lambda _rng: jnp.asarray(init))
+            return jnp.clip(w, 0.0, 1.0)
+        return jnp.asarray(init)
+
+
+def _depthwise_conv(x: jax.Array, kernel: int, dims: int, name: str, module) -> jax.Array:
+    """Depthwise 'same' conv over the trailing spatial dims of NH...WC input."""
+    return nn.Conv(
+        features=x.shape[-1],
+        kernel_size=(kernel,) * dims,
+        padding="SAME",
+        feature_group_count=x.shape[-1],
+        name=name,
+        dtype=x.dtype,
+    )(x)
+
+
+class MHLA2D(nn.Module):
+    dim: int
+    num_heads: int = 8
+    blocks_per_side: int = 4  # N = blocks_per_side**2 blocks
+    block_len: int = 4  # C = block_len**2 tokens per block
+    transform: str = "cos"  # ViT default; DiT uses "linear"
+    local_thres: float = 1.5
+    exp_sigma: float = 3.0
+    trainable_mixing: bool = False  # True for DiT
+    qkv_bias: bool = False  # True for DiT
+    qk_norm: bool = False
+    lepe_kernel: int = 5  # 5 for ViT, 3 for DiT
+    eps: float = 1e-6
+    use_input_norm: bool = True  # reference applies LayerNorm inside attn
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        """x: [B, N_blocks, C_block, dim] (block-major tokens)."""
+        b, n, c, _ = x.shape
+        h = self.num_heads
+        d = self.dim // h
+        p = self.blocks_per_side
+        w = self.block_len
+
+        if self.use_input_norm:
+            x = LayerNorm(name="norm")(x)
+
+        qkv = nn.Dense(
+            3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="to_qkv"
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        # LePE positional term: depthwise conv of v on the spatial grid
+        v_spatial = (
+            v.reshape(b, p, p, w, w, self.dim)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, p * w, p * w, self.dim)
+        )
+        lepe = _depthwise_conv(v_spatial, self.lepe_kernel, 2, "lepe", self)
+        lepe = (
+            lepe.reshape(b, p, w, p, w, self.dim)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, n, c, self.dim)
+        )
+
+        if self.qk_norm:
+            q = RMSNorm(name="q_norm", eps=self.eps)(q)
+            k = RMSNorm(name="k_norm", eps=self.eps)(k)
+        q = jax.nn.relu(q) + self.eps
+        k = jax.nn.relu(k) + self.eps
+
+        q, k, v = (t.reshape(b, n, c, h, d) for t in (q, k, v))
+        m = BlockMixing(
+            blocks_layout=(p, p),
+            transform=self.transform,
+            local_thres=self.local_thres,
+            exp_sigma=self.exp_sigma,
+            trainable=self.trainable_mixing,
+            name="piece_attn",
+        )()
+        out = mhla_blockwise_mh(q, k, v, m, eps=self.eps)
+        out = out.reshape(b, n, c, self.dim) + lepe
+
+        out = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="to_out")(out)
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+def rearrange_to_blocks_3d(
+    x: jax.Array, grid: Sequence[int], layout: Sequence[int]
+) -> jax.Array:
+    """[B, F*H*W, ...] -> [B, N_blocks, C_block, ...] with 3D block-major order.
+
+    Matches the reference pattern ``(fb p1 hb p2 wb p3) -> (fb hb wb)(p1 p2 p3)``
+    (``mhla_utils.py:317-326``).
+    """
+    b = x.shape[0]
+    f, hh, ww = grid
+    fb, hb, wb = layout
+    p1, p2, p3 = f // fb, hh // hb, ww // wb
+    tail = x.shape[2:]
+    x = x.reshape(b, fb, p1, hb, p2, wb, p3, *tail)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, *range(7, 7 + len(tail)))
+    return x.reshape(b, fb * hb * wb, p1 * p2 * p3, *tail)
+
+
+def rearrange_from_blocks_3d(
+    x: jax.Array, grid: Sequence[int], layout: Sequence[int]
+) -> jax.Array:
+    """Inverse of :func:`rearrange_to_blocks_3d`."""
+    b = x.shape[0]
+    f, hh, ww = grid
+    fb, hb, wb = layout
+    p1, p2, p3 = f // fb, hh // hb, ww // wb
+    tail = x.shape[3:]
+    x = x.reshape(b, fb, hb, wb, p1, p2, p3, *tail)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, *range(7, 7 + len(tail)))
+    return x.reshape(b, f * hh * ww, *tail)
+
+
+class MHLA3D(nn.Module):
+    """Video MHLA over an (F, H, W) token grid with 3D block mixing."""
+
+    dim: int
+    num_heads: int = 12
+    blocks_layout: Tuple[int, int, int] = (3, 5, 10)
+    transform: str = "linear"
+    qk_norm: bool = True
+    is_gated: bool = True
+    is_lepe: bool = False
+    rope_after: bool = True
+    without_rope: bool = False
+    normalize_out: bool = True
+    eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_max_pos: int = 1024
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, grid: Tuple[int, int, int]) -> jax.Array:
+        """x: [B, F*H*W, dim]; grid: static (F, H, W)."""
+        b, t, _ = x.shape
+        h = self.num_heads
+        d = self.dim // h
+        f, hh, ww = grid
+        assert f * hh * ww == t, f"grid {grid} does not match {t} tokens"
+
+        dense = lambda name: nn.Dense(  # noqa: E731
+            self.dim, use_bias=True, dtype=self.dtype, name=name
+        )
+        q, k, v = dense("q")(x), dense("k")(x), dense("v")(x)
+
+        lepe = None
+        if self.is_lepe:
+            v_sp = v.reshape(b, f, hh, ww, self.dim)
+            lepe = _depthwise_conv(v_sp, 3, 3, "lepe", self).reshape(b, t, self.dim)
+
+        # fp32 attention island (reference casts q/k/v to float, :308)
+        q = q.astype(jnp.float32)
+        k = k.astype(jnp.float32)
+        v = v.astype(jnp.float32)
+        if self.qk_norm:
+            q = RMSNorm(name="norm_q", eps=self.eps)(q)
+            k = RMSNorm(name="norm_k", eps=self.eps)(k)
+        q = jax.nn.relu(q) + self.eps
+        k = jax.nn.relu(k) + self.eps
+
+        q = q.reshape(b, t, h, d)
+        k = k.reshape(b, t, h, d)
+        v = v.reshape(b, t, h, d)
+
+        if self.without_rope:
+            q_rope, k_rope = q, k
+        else:
+            angles = jnp.asarray(
+                rope_angles_3d(grid, d, self.rope_theta, self.rope_max_pos),
+                jnp.float32,
+            )
+            q_rope = apply_rotary_interleaved(q, angles)
+            k_rope = apply_rotary_interleaved(k, angles)
+
+        to_blocks = lambda z: rearrange_to_blocks_3d(  # noqa: E731
+            z, grid, self.blocks_layout
+        )
+        qb, kb, vb = to_blocks(q_rope), to_blocks(k_rope), to_blocks(v)
+        q_nope, k_nope = to_blocks(q), to_blocks(k)
+
+        m = BlockMixing(
+            blocks_layout=self.blocks_layout,
+            transform=self.transform,
+            name="block_attn",
+        )()
+        out = mhla_blockwise_mh(
+            qb, kb, vb, m,
+            q_nope=q_nope, k_nope=k_nope,
+            normalize=self.normalize_out, eps=self.eps,
+        )
+        out = rearrange_from_blocks_3d(
+            out.reshape(*out.shape[:3], self.dim), grid, self.blocks_layout
+        )
+        out = out.astype(x.dtype)
+
+        # per-head RMSNorm on the output (reference g_norm over dim_head)
+        out = RMSNorm(name="g_norm", eps=self.eps)(out.reshape(b, t, h, d)).reshape(
+            b, t, self.dim
+        )
+        if self.is_gated:
+            g = jax.nn.silu(dense("g")(x))
+            out = out * g
+        if lepe is not None:
+            out = out + lepe
+        return dense("o")(out)

@@ -73,3 +73,39 @@ def mhla_blockwise(
         out = out / z[..., None]
 
     return out.astype(in_dtype)
+
+
+@partial(jax.jit, static_argnames=("normalize", "eps"))
+def mhla_blockwise_mh(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mixing_matrix: jax.Array,
+    q_nope: Optional[jax.Array] = None,
+    k_nope: Optional[jax.Array] = None,
+    normalize: bool = True,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """Multi-head layout blockwise MHLA: q, k [B, N, C, H, Dk], v [B, N, C, H, Dv].
+
+    Same math as :func:`mhla_blockwise`, with the head axis kept in the
+    token-natural position so no relayout transpose is needed on TPU (the
+    head axis rides as an einsum batch dimension).
+    """
+    in_dtype = q.dtype
+    f32 = jnp.float32
+    q, k, v = q.astype(f32), k.astype(f32), v.astype(f32)
+    m = mixing_matrix.astype(f32)
+
+    kv = jnp.einsum("bnchk,bnchv->bnhkv", k, v)
+    kv = jnp.einsum("ij,bjhkv->bihkv", m, kv)
+    out = jnp.einsum("bnchk,bnhkv->bnchv", q, kv)
+
+    if normalize:
+        qn = q if q_nope is None else q_nope.astype(f32)
+        kn = k if k_nope is None else k_nope.astype(f32)
+        k_sum = jnp.sum(kn, axis=2)  # [B, N, H, Dk]
+        z = jnp.einsum("bnchk,bnhk->bnch", qn, k_sum)
+        z = jnp.einsum("ij,bjch->bich", m, z) + eps
+        out = out / z[..., None]
+    return out.astype(in_dtype)

@@ -101,46 +101,62 @@ def mhla_chunk(
 
     Returns:
       (o [B, T, H, Dv], states or None)
+
+    Performance notes (TPU): tokens stay in their natural [B, (N C), H, D]
+    layout — the chunk split is a free reshape and every contraction is an
+    einsum with H as a batch axis, so XLA emits MXU matmuls without relayout
+    transposes. bf16 inputs run the matmuls in bf16 with fp32 accumulation
+    (``preferred_element_type``); fp32 inputs compute fully in fp32 (this is
+    the path the tests compare against the loop oracle bit-exactly).
     """
     in_dtype = q.dtype
     b, t, h, dk = q.shape
     dv = v.shape[-1]
     scale = dk**-0.5
+    f32 = jnp.float32
+    # bf16 matmuls + fp32 accumulation when the input is bf16; else full fp32.
+    cdt = jnp.bfloat16 if in_dtype == jnp.bfloat16 else f32
 
-    q = _pad_to_chunks(q.astype(jnp.float32), chunk_size)
-    k = _pad_to_chunks(k.astype(jnp.float32), chunk_size)
-    v = _pad_to_chunks(v.astype(jnp.float32), chunk_size)
+    q = _pad_to_chunks(q, chunk_size)
+    k = _pad_to_chunks(k, chunk_size)
+    v = _pad_to_chunks(v, chunk_size)
     n = q.shape[1] // chunk_size
+    c = chunk_size
 
     m = prepare_mixing_matrix(mixing_matrix, n)
     m_strict = jnp.tril(m, k=-1)  # inter-chunk weights
     m_diag = jnp.diagonal(m)  # intra-chunk weights
 
-    # [B, H, N, C, D]
-    def to_chunks(x):
-        return x.reshape(b, n, chunk_size, h, x.shape[-1]).transpose(0, 3, 1, 2, 4)
+    # Free reshape: [B, N, C, H, D] — no transpose, H rides as a batch axis.
+    q = (q.reshape(b, n, c, h, dk).astype(f32) * scale).astype(cdt)
+    k = k.reshape(b, n, c, h, dk).astype(cdt)
+    v = v.reshape(b, n, c, h, dv).astype(cdt)
 
-    q, k, v = to_chunks(q) , to_chunks(k), to_chunks(v)
-    q = q * scale
+    # Per-chunk KV states: S_j = k_j^T v_j  -> [B, N, H, Dk, Dv]  (MXU)
+    states = jnp.einsum("bnchk,bnchv->bnhkv", k, v, preferred_element_type=f32)
 
-    # Per-chunk KV states: S_j = k_j^T v_j  -> [B, H, N, Dk, Dv]  (MXU)
-    states = jnp.einsum("bhnck,bhncv->bhnkv", k, v)
-
-    # Mix past states: S~_i = sum_{j<i} M[i,j] S_j  — one [N,N]@[N,Dk*Dv] matmul
-    mixed = jnp.einsum("ij,bhjkv->bhikv", m_strict, states)
+    # Mix past states: S~_i = sum_{j<i} M[i,j] S_j — one [N,N]@[N,H*Dk*Dv] matmul
+    mixed = jnp.einsum(
+        "ij,bjhkv->bihkv", m_strict.astype(cdt), states.astype(cdt),
+        preferred_element_type=f32,
+    )
 
     # Inter-chunk read-out  (MXU)
-    o_inter = jnp.einsum("bhnck,bhnkv->bhncv", q, mixed)
+    o_inter = jnp.einsum(
+        "bnchk,bnhkv->bnchv", q, mixed.astype(cdt), preferred_element_type=f32
+    )
 
     # Intra-chunk causal attention, weighted by M[i, i]
-    attn = jnp.einsum("bhnck,bhnmk->bhncm", q, k)
-    tril = jnp.tril(jnp.ones((chunk_size, chunk_size), dtype=attn.dtype))
-    attn = attn * tril
-    o_intra = jnp.einsum("bhncm,bhnmv->bhncv", attn, v) * m_diag[None, None, :, None, None]
+    attn = jnp.einsum("bnchk,bnmhk->bnhcm", q, k, preferred_element_type=f32)
+    tril = jnp.tril(jnp.ones((c, c), dtype=f32))
+    attn = (attn * tril).astype(cdt)
+    o_intra = jnp.einsum(
+        "bnhcm,bnmhv->bnchv", attn, v, preferred_element_type=f32
+    ) * m_diag[None, :, None, None, None]
 
-    o = o_inter + o_intra
-    o = o.transpose(0, 2, 3, 1, 4).reshape(b, n * chunk_size, h, dv)[:, :t]
-    return o.astype(in_dtype), (states if output_final_state else None)
+    o = (o_inter + o_intra).reshape(b, n * c, h, dv)[:, :t]
+    states_out = states.transpose(0, 2, 1, 3, 4) if output_final_state else None
+    return o.astype(in_dtype), states_out
 
 
 def mhla_chunk_ref(

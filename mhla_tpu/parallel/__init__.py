@@ -1,0 +1,22 @@
+from .mesh import (
+    DATA_AXIS,
+    FSDP_AXIS,
+    TENSOR_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated,
+)
+from .sharding import fsdp_param_specs, fsdp_shardings, fsdp_spec, shard_params
+
+__all__ = [
+    "DATA_AXIS",
+    "FSDP_AXIS",
+    "TENSOR_AXIS",
+    "batch_sharding",
+    "fsdp_param_specs",
+    "fsdp_shardings",
+    "fsdp_spec",
+    "make_mesh",
+    "replicated",
+    "shard_params",
+]

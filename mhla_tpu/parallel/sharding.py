@@ -1,0 +1,60 @@
+"""Parameter sharding rules (FSDP-style) and helpers.
+
+Replaces the reference's wrapper-driven sharding (DeepSpeed ZeRO-2 config,
+accelerate-FSDP ``TRANSFORMER_BASED_WRAP`` on block classes —
+``train_wan.py:76-108``, ``fsdp_utils.py:12-34``) with explicit, inspectable
+PartitionSpecs: every parameter is sharded along its largest
+fsdp-divisible axis; small parameters (norm scales, mixing matrices) stay
+replicated. Optimizer state inherits the parameter specs, which is ZeRO-3
+for free under pjit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import FSDP_AXIS, TENSOR_AXIS
+
+
+def fsdp_spec(
+    shape: tuple,
+    fsdp_size: int,
+    min_size: int = 2**14,
+    axis_name: str = FSDP_AXIS,
+) -> P:
+    """PartitionSpec sharding the largest divisible axis over fsdp."""
+    if int(np.prod(shape)) < min_size:
+        return P()
+    # prefer the largest axis; break ties toward the later (output) axis
+    order = sorted(range(len(shape)), key=lambda i: (shape[i], i), reverse=True)
+    for i in order:
+        if shape[i] % fsdp_size == 0 and shape[i] >= fsdp_size:
+            spec = [None] * len(shape)
+            spec[i] = axis_name
+            return P(*spec)
+    return P()
+
+
+def fsdp_param_specs(params: Any, mesh: Mesh, min_size: int = 2**14) -> Any:
+    """Tree of PartitionSpecs for FSDP parameter sharding."""
+    fsdp_size = mesh.shape[FSDP_AXIS]
+    if fsdp_size == 1:
+        return jax.tree.map(lambda _: P(), params)
+    return jax.tree.map(lambda p: fsdp_spec(p.shape, fsdp_size, min_size), params)
+
+
+def fsdp_shardings(params: Any, mesh: Mesh, min_size: int = 2**14) -> Any:
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        fsdp_param_specs(params, mesh, min_size),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(params: Any, mesh: Mesh, min_size: int = 2**14) -> Any:
+    """Place a parameter tree onto the mesh with FSDP sharding."""
+    return jax.device_put(params, fsdp_shardings(params, mesh, min_size))

@@ -1,0 +1,194 @@
+"""Layer tests: init/apply shapes, decode-vs-parallel consistency, gating."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mhla_tpu.layers import (
+    MHLA2D,
+    MHLA3D,
+    GatedMLP,
+    GatedRMSNorm,
+    LinearAttention2D,
+    MHLACausal,
+    RMSNorm,
+    SelfAttention,
+    ShortConvolution,
+    WanLinearAttention,
+    default_intermediate_size,
+    rearrange_from_blocks_3d,
+    rearrange_to_blocks_3d,
+)
+from mhla_tpu.utils.testing import assert_close
+
+
+class TestNorms:
+    def test_rmsnorm_unit_scale(self, key):
+        x = jax.random.normal(key, (2, 8, 16)) * 3.0
+        m = RMSNorm()
+        y, _ = m.init_with_output(key, x)
+        rms = jnp.sqrt(jnp.mean(y**2, axis=-1))
+        assert_close("rms", jnp.ones_like(rms), rms, 1e-3)
+
+    def test_gated_rmsnorm(self, key):
+        x = jax.random.normal(key, (2, 8, 16))
+        g = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 16))
+        m = GatedRMSNorm()
+        y, _ = m.init_with_output(key, x, g)
+        m2 = RMSNorm()
+        y_ref, _ = m2.init_with_output(key, x)
+        assert_close("gated", y_ref * jax.nn.silu(g), y, 1e-5)
+
+
+class TestMLP:
+    def test_intermediate_sizing(self):
+        # 2/3 * 1024 * 4 = 2730.67 -> next multiple of 256 = 2816
+        assert default_intermediate_size(1024, 4) == 2816
+
+    def test_forward(self, key):
+        x = jax.random.normal(key, (2, 4, 64))
+        m = GatedMLP(hidden_size=64)
+        y, params = m.init_with_output(key, x)
+        assert y.shape == x.shape
+
+
+class TestShortConv:
+    def test_causality(self, key):
+        x = jax.random.normal(key, (1, 16, 8))
+        m = ShortConvolution(8, activation=None)
+        params = m.init(key, x)
+        y1 = m.apply(params, x)[0]
+        x2 = x.at[:, 10:].set(0.0)
+        y2 = m.apply(params, x2)[0]
+        assert_close("causal prefix", y1[:, :10], y2[:, :10], 1e-6)
+
+    def test_streaming_matches_parallel(self, key):
+        x = jax.random.normal(key, (2, 12, 8))
+        m = ShortConvolution(8)
+        params = m.init(key, x)
+        y_full, _ = m.apply(params, x)
+        cache = jnp.zeros((2, 3, 8))
+        outs = []
+        for i in range(12):
+            y_i, cache = m.apply(params, x[:, i : i + 1], cache, True)
+            outs.append(y_i)
+        assert_close("stream", y_full, jnp.concatenate(outs, axis=1), 1e-5)
+
+
+class TestMHLACausal:
+    def test_forward_shapes(self, key):
+        layer = MHLACausal(hidden_size=64, num_heads=2, num_slots=4, chunk_size=16)
+        x = jax.random.normal(key, (2, 48, 64))
+        (y, state), params = layer.init_with_output(key, x)
+        assert y.shape == (2, 48, 64)
+        assert state is None
+        assert params["params"]["mixing_matrix"].shape == (4, 4)
+
+    def test_prefill_then_decode_matches_parallel(self, key):
+        layer = MHLACausal(hidden_size=32, num_heads=2, num_slots=4, chunk_size=8)
+        t_total, t_prefill = 28, 20
+        x = jax.random.normal(key, (1, t_total, 32))
+        params = layer.init(key, x)
+        y_full, _ = layer.apply(params, x)
+        y_pre, state = layer.apply(params, x[:, :t_prefill], use_cache=True)
+        outs = [y_pre]
+        for i in range(t_prefill, t_total):
+            y_i, state = layer.apply(params, x[:, i : i + 1], state, use_cache=True)
+            outs.append(y_i)
+        assert_close("layer decode", y_full, jnp.concatenate(outs, axis=1), 1e-4)
+
+    def test_gqa(self, key):
+        layer = MHLACausal(
+            hidden_size=64, num_heads=4, num_kv_heads=2, num_slots=4, chunk_size=16
+        )
+        x = jax.random.normal(key, (1, 16, 64))
+        (y, _), params = layer.init_with_output(key, x)
+        assert y.shape == (1, 16, 64)
+        # k_proj output dim is key_dim / groups
+        assert params["params"]["k_proj"]["kernel"].shape == (64, 16)
+
+    def test_short_conv_variant(self, key):
+        layer = MHLACausal(
+            hidden_size=32, num_heads=2, num_slots=2, chunk_size=8, use_short_conv=True
+        )
+        x = jax.random.normal(key, (1, 16, 32))
+        (y, _), _ = layer.init_with_output(key, x)
+        assert y.shape == (1, 16, 32)
+
+
+class TestMHLA2D:
+    def test_forward(self, key):
+        # 16 blocks of 16 tokens, dim 64 (DiT-S-like)
+        layer = MHLA2D(dim=64, num_heads=4, blocks_per_side=4, block_len=4,
+                       transform="linear", trainable_mixing=True, qkv_bias=True,
+                       lepe_kernel=3)
+        x = jax.random.normal(key, (2, 16, 16, 64))
+        (y, params) = layer.init_with_output(key, x)
+        assert y[0].shape == (2, 16, 16, 64) or y.shape == (2, 16, 16, 64)
+
+    def test_fixed_vs_trainable_param_presence(self, key):
+        x = jax.random.normal(key, (1, 16, 16, 32))
+        fixed = MHLA2D(dim=32, num_heads=2, blocks_per_side=4, block_len=4)
+        params_f = fixed.init(key, x)
+        assert "piece_attn" not in params_f["params"]
+        train = MHLA2D(dim=32, num_heads=2, blocks_per_side=4, block_len=4,
+                       trainable_mixing=True)
+        params_t = train.init(key, x)
+        assert params_t["params"]["piece_attn"]["weight"].shape == (16, 16)
+
+
+class TestMHLA3D:
+    def test_forward_and_block_roundtrip(self, key):
+        grid = (6, 10, 10)
+        layer = MHLA3D(dim=48, num_heads=4, blocks_layout=(3, 5, 5))
+        x = jax.random.normal(key, (1, 600, 48))
+        (y, _) = layer.init_with_output(key, x, grid)
+        assert y.shape == (1, 600, 48)
+
+    def test_rearrange_roundtrip(self, key):
+        x = jax.random.normal(key, (2, 4 * 6 * 8, 5))
+        blocks = rearrange_to_blocks_3d(x, (4, 6, 8), (2, 3, 4))
+        assert blocks.shape == (2, 24, 8, 5)  # N = 2*3*4 blocks of 2*2*2 tokens
+        back = rearrange_from_blocks_3d(blocks, (4, 6, 8), (2, 3, 4))
+        assert_close("roundtrip", x, back, 1e-7)
+
+    def test_block_order_matches_reference_pattern(self):
+        """Token at (f, h, w) lands in block (f//p1, h//p2, w//p3) at
+        intra-block position (f%p1, h%p2, w%p3) — the reference einops
+        pattern ``(fb p1 hb p2 wb p3) -> (fb hb wb) (p1 p2 p3)``."""
+        f, h, w = 4, 4, 6
+        layout = (2, 2, 3)
+        p = (f // layout[0], h // layout[1], w // layout[2])
+        ids = np.arange(f * h * w).reshape(1, -1, 1)
+        blocks = np.asarray(rearrange_to_blocks_3d(jnp.asarray(ids), (f, h, w), layout))
+        for token in range(f * h * w):
+            fi, rem = divmod(token, h * w)
+            hi, wi = divmod(rem, w)
+            blk = (fi // p[0]) * layout[1] * layout[2] + (hi // p[1]) * layout[2] + wi // p[2]
+            pos = (fi % p[0]) * p[1] * p[2] + (hi % p[1]) * p[2] + wi % p[2]
+            assert blocks[0, blk, pos, 0] == token
+
+
+class TestBaselines:
+    def test_self_attention_causal(self, key):
+        layer = SelfAttention(hidden_size=32, num_heads=2)
+        x = jax.random.normal(key, (2, 16, 32))
+        (y, _), params = layer.init_with_output(key, x)
+        assert y.shape == (2, 16, 32)
+        # causality: future tokens don't affect past outputs
+        x2 = x.at[:, 10:].set(0.0)
+        y2, _ = layer.apply(params, x2)
+        assert_close("causal", y[:, :10], y2[:, :10], 1e-5)
+
+    def test_linear_attention_2d(self, key):
+        layer = LinearAttention2D(dim=32, num_heads=2)
+        x = jax.random.normal(key, (2, 20, 32))
+        y, _ = layer.init_with_output(key, x)
+        assert y.shape == (2, 20, 32)
+
+    def test_wan_linear_attention(self, key):
+        layer = WanLinearAttention(dim=48, num_heads=4)
+        x = jax.random.normal(key, (1, 2 * 4 * 6, 48))
+        y, _ = layer.init_with_output(key, x, (2, 4, 6))
+        assert y.shape == (1, 48, 48)

@@ -1,0 +1,140 @@
+"""LM model tests: forward, loss, decode consistency, hybrid layers, init."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mhla_tpu.models import (
+    MHLAForCausalLM,
+    MHLALMConfig,
+    cross_entropy_loss,
+    generate,
+    init_lm_params,
+)
+from mhla_tpu.utils.testing import assert_close
+
+TINY = MHLALMConfig(
+    hidden_size=64,
+    num_hidden_layers=2,
+    num_heads=2,
+    vocab_size=128,
+    max_position_embeddings=64,
+    chunk_size=16,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = MHLAForCausalLM(TINY)
+    ids = jnp.zeros((1, 32), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    return model, params
+
+
+class TestForward:
+    def test_logits_shape(self, tiny_model):
+        model, params = tiny_model
+        ids = jnp.arange(32, dtype=jnp.int32)[None, :] % 128
+        logits, states = model.apply(params, ids)
+        assert logits.shape == (1, 32, 128)
+        assert states is None
+
+    def test_causality(self, tiny_model):
+        model, params = tiny_model
+        key = jax.random.PRNGKey(1)
+        ids = jax.random.randint(key, (1, 32), 0, 128)
+        logits1, _ = model.apply(params, ids)
+        ids2 = ids.at[:, 20:].set(0)
+        logits2, _ = model.apply(params, ids2)
+        assert_close("lm causal", logits1[:, :20], logits2[:, :20], 1e-4)
+
+    def test_loss_finite_and_masked(self, tiny_model):
+        model, params = tiny_model
+        ids = jnp.arange(32, dtype=jnp.int32)[None, :] % 128
+        logits, _ = model.apply(params, ids)
+        labels = ids.at[:, -5:].set(-100)
+        loss = cross_entropy_loss(logits, labels)
+        assert np.isfinite(float(loss))
+        # fully masked -> zero loss, no nan
+        loss0 = cross_entropy_loss(logits, jnp.full_like(ids, -100))
+        assert float(loss0) == 0.0
+
+    def test_tied_embeddings(self, tiny_model):
+        _, params = tiny_model
+        assert "lm_head" not in params["params"]
+
+
+class TestDecode:
+    def test_prefill_decode_matches_parallel(self, tiny_model):
+        model, params = tiny_model
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 24), 0, 128)
+        logits_full, _ = model.apply(params, ids)
+
+        logits_pre, states = model.apply(params, ids[:, :16], use_cache=True)
+        chunks = [logits_pre]
+        for i in range(16, 24):
+            step_logits, states = model.apply(
+                params, ids[:, i : i + 1], states, use_cache=True
+            )
+            chunks.append(step_logits)
+        logits_stream = jnp.concatenate(chunks, axis=1)
+        assert_close("lm decode", logits_full, logits_stream, 1e-4)
+
+    def test_generate_greedy_deterministic(self, tiny_model):
+        model, params = tiny_model
+        ids = jnp.arange(8, dtype=jnp.int32)[None, :]
+        out1 = generate(model, params, ids, max_new_tokens=8)
+        out2 = generate(model, params, ids, max_new_tokens=8)
+        assert out1.shape == (1, 16)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+class TestHybrid:
+    def test_softmax_layer_mix(self):
+        cfg = MHLALMConfig(
+            hidden_size=64,
+            num_hidden_layers=3,
+            num_heads=2,
+            vocab_size=64,
+            max_position_embeddings=64,
+            chunk_size=16,
+            attn={"layers": [1], "num_heads": 2},
+        )
+        model = MHLAForCausalLM(cfg)
+        ids = jnp.zeros((1, 32), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids)
+        p = params["params"]["model"]
+        # layer 1 is softmax (no mixing matrix), layers 0/2 are MHLA
+        assert "mixing_matrix" in p["layers_0"]["attn"]
+        assert "mixing_matrix" not in p["layers_1"]["attn"]
+        logits, _ = model.apply(params, ids)
+        assert logits.shape == (1, 32, 64)
+
+
+class TestConfigAndInit:
+    def test_from_reference_json(self, tmp_path):
+        import json
+
+        ref = {
+            "attn_mode": "chunk", "expand_k": 0.5, "expand_v": 1,
+            "feature_map": "relu", "hidden_ratio": 4, "hidden_size": 1024,
+            "model_type": "gla", "num_heads": 4, "num_hidden_layers": 24,
+            "norm_eps": 1e-06, "tie_word_embeddings": True, "vocab_size": 32000,
+            "use_gk": True, "bos_token_id": 1,
+        }
+        p = tmp_path / "cfg.json"
+        p.write_text(json.dumps(ref))
+        cfg = MHLALMConfig.from_json(str(p))
+        assert cfg.hidden_size == 1024
+        assert cfg.feature_map == "relu"
+        assert cfg.num_slots == 32
+
+    def test_reference_init_scheme(self, tiny_model):
+        model, params = tiny_model
+        new = init_lm_params(params, TINY, jax.random.PRNGKey(3))
+        p = new["params"]["model"]["layers_0"]
+        q_std = float(jnp.std(p["attn"]["q_proj"]["kernel"]))
+        o_std = float(jnp.std(p["attn"]["o_proj"]["kernel"]))
+        assert q_std == pytest.approx(0.02, rel=0.2)
+        assert o_std == pytest.approx(0.02 / np.sqrt(2 * 2), rel=0.2)

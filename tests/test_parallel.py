@@ -1,0 +1,150 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: sharding specs,
+FSDP train step, data-parallel loss equivalence, graft entry dryrun."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from mhla_tpu.models import MHLAForCausalLM, MHLALMConfig, cross_entropy_loss
+from mhla_tpu.parallel import (
+    batch_sharding,
+    fsdp_param_specs,
+    fsdp_spec,
+    make_mesh,
+    shard_params,
+)
+from mhla_tpu.train import (
+    OptimizerConfig,
+    init_train_state_sharded,
+    make_optimizer,
+    make_train_step,
+    project_params,
+)
+from mhla_tpu.utils.testing import assert_close
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def tiny_model():
+    cfg = MHLALMConfig(
+        hidden_size=64, num_hidden_layers=2, num_heads=2, vocab_size=128,
+        max_position_embeddings=64, chunk_size=16,
+    )
+    model = MHLAForCausalLM(cfg)
+    ids = jnp.zeros((8, 64), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    return cfg, model, ids, params
+
+
+class TestMesh:
+    def test_mesh_shapes(self):
+        mesh = make_mesh()
+        assert mesh.shape["fsdp"] == 8
+        mesh = make_mesh(n_data=2)
+        assert mesh.shape["data"] == 2 and mesh.shape["fsdp"] == 4
+        with pytest.raises(AssertionError):
+            make_mesh(n_data=3)
+
+    def test_fsdp_spec_picks_divisible_axis(self):
+        assert fsdp_spec((1024, 256), 8) == P("fsdp", None)
+        assert fsdp_spec((255, 1024), 8) == P(None, "fsdp")
+        assert fsdp_spec((16,), 8) == P()  # too small -> replicated
+        assert fsdp_spec((255, 255), 8, min_size=0) == P()  # nothing divisible
+
+    def test_param_specs_replicate_small(self):
+        _, _, _, params = tiny_model()
+        mesh = make_mesh()
+        specs = fsdp_param_specs(params, mesh, min_size=0)
+        flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+        by_name = {
+            "/".join(getattr(k, "key", "") for k in path): spec
+            for path, spec in flat
+        }
+        # mixing matrices (4x4) replicated, embeddings (128x64) sharded
+        mm = [v for k, v in by_name.items() if "mixing_matrix" in k]
+        assert all(s == P() for s in mm)
+        emb = [v for k, v in by_name.items() if "embedding" in k]
+        assert all(s != P() for s in emb)
+
+
+class TestFSDPTrainStep:
+    def test_one_step_runs_and_shards(self):
+        cfg, model, ids, params = tiny_model()
+        mesh = make_mesh()
+        tx = make_optimizer(OptimizerConfig(warmup_steps=1, total_steps=10))
+
+        def loss_fn(p, batch, rng):
+            logits, _ = model.apply(p, batch)
+            return cross_entropy_loss(logits, batch), {}
+
+        with mesh:
+            state = init_train_state_sharded(params, tx, mesh, ema=True, min_size=0)
+            # optimizer state inherited the param shardings (ZeRO-3)
+            emb_sh = state.params["params"]["model"]["embeddings"]["embedding"].sharding
+            assert emb_sh.spec != P()
+            step = make_train_step(loss_fn, tx, ema_decay=0.9)
+            batch = jax.device_put(ids, batch_sharding(mesh))
+            state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+            assert np.isfinite(float(metrics["loss"]))
+            assert int(state2.step) == 1
+            # mixing matrix stayed projected
+            mm = state2.params["params"]["model"]["layers_0"]["attn"]["mixing_matrix"]
+            mm = np.asarray(mm)
+            assert (np.triu(mm, 1) == 0).all()
+            tril_vals = mm[np.tril_indices_from(mm)]
+            assert tril_vals.min() >= 1e-5 - 1e-9 and mm.max() <= 1.0 + 1e-9
+
+    def test_sharded_matches_single_device(self):
+        """FSDP-sharded step == unsharded step (same numerics)."""
+        cfg, model, ids, params = tiny_model()
+        ids = jax.random.randint(jax.random.PRNGKey(5), (8, 64), 0, 128)
+        tx = make_optimizer(OptimizerConfig(warmup_steps=1, total_steps=10))
+
+        def loss_fn(p, batch, rng):
+            logits, _ = model.apply(p, batch)
+            return cross_entropy_loss(logits, batch), {}
+
+        from mhla_tpu.train import init_train_state
+
+        state_ref = init_train_state(params, tx)
+        step_ref = make_train_step(loss_fn, tx, donate=False)
+        state_ref2, m_ref = step_ref(state_ref, ids, jax.random.PRNGKey(1))
+
+        mesh = make_mesh()
+        with mesh:
+            state = init_train_state_sharded(params, tx, mesh, min_size=0)
+            step = make_train_step(loss_fn, tx, donate=False)
+            state2, m = step(state, jax.device_put(ids, batch_sharding(mesh)),
+                             jax.random.PRNGKey(1))
+        assert_close("loss", m_ref["loss"], m["loss"], 1e-5)
+        a = jax.tree.leaves(state_ref2.params)
+        b = jax.tree.leaves(state2.params)
+        for x, y in zip(a, b):
+            assert_close("param", x, np.asarray(y), 1e-4)
+
+
+class TestProjections:
+    def test_project_params(self):
+        params = {
+            "layers_0": {"attn": {"mixing_matrix": jnp.full((4, 4), 2.0)}},
+            "piece_attn": {"weight": jnp.full((4, 4), -1.0)},
+            "other": jnp.full((4, 4), 5.0),
+        }
+        out = project_params(params)
+        mm = np.asarray(out["layers_0"]["attn"]["mixing_matrix"])
+        assert (np.triu(mm, 1) == 0).all() and mm.max() <= 1.0
+        assert np.asarray(out["piece_attn"]["weight"]).min() == 0.0
+        assert np.asarray(out["other"]).max() == 5.0  # untouched
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)

@@ -1,0 +1,180 @@
+"""Tests for config system, data packing, checkpointing, monitors, eval."""
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mhla_tpu.data import (
+    PackedTokenIterator,
+    batched,
+    make_lm_dataloader,
+    shard_documents,
+    synthetic_documents,
+)
+from mhla_tpu.utils.checkpoint import (
+    checkpoint_step,
+    load_checkpoint,
+    resolve_resume_path,
+    save_checkpoint,
+)
+from mhla_tpu.utils.config import dump_config, load_config, parse_cli
+from mhla_tpu.utils.logging import LogBuffer, Throughput
+from mhla_tpu.utils.monitor import NaNLossBreaker, finite_check
+
+
+@dataclasses.dataclass
+class _Inner:
+    lr: float = 1e-3
+    steps: int = 100
+
+
+@dataclasses.dataclass
+class _Cfg:
+    name: str = "x"
+    inner: _Inner = dataclasses.field(default_factory=_Inner)
+    flag: bool = False
+
+
+class TestConfig:
+    def test_overrides(self):
+        cfg = parse_cli(_Cfg, ["--inner.lr=0.5", "--flag=true", "--name=hello"])
+        assert cfg.inner.lr == 0.5 and cfg.flag is True and cfg.name == "hello"
+
+    def test_yaml_roundtrip(self, tmp_path):
+        cfg = _Cfg(name="y", inner=_Inner(lr=0.1))
+        p = tmp_path / "c.yaml"
+        dump_config(cfg, str(p))
+        cfg2 = load_config(_Cfg, str(p))
+        assert cfg2 == cfg
+
+    def test_unknown_key_rejected(self):
+        with pytest.raises(KeyError):
+            parse_cli(_Cfg, ["--nope=1"])
+
+
+class TestData:
+    def test_packing_exact_rows(self):
+        docs = [[1] * 10, [2] * 10, [3] * 10]
+        it = iter(PackedTokenIterator(lambda e: docs, seq_len=8))
+        rows = [next(it) for _ in range(3)]
+        flat = np.concatenate(rows)
+        assert flat.tolist() == ([1] * 10 + [2] * 10 + [3] * 4)
+
+    def test_resume_state(self):
+        docs = [[i] * 7 for i in range(20)]
+        it1 = PackedTokenIterator(lambda e: docs, seq_len=5)
+        g1 = iter(it1)
+        first = [next(g1) for _ in range(4)]
+        state = it1.state_dict()
+        # fresh iterator from saved state continues the stream exactly
+        it2 = PackedTokenIterator(lambda e: docs, seq_len=5)
+        it2.load_state_dict(state)
+        g2 = iter(it2)
+        a, b = next(g1), next(g2)
+        np.testing.assert_array_equal(a, b)
+
+    def test_sharding_disjoint(self):
+        docs = list(range(100))
+        shards = [shard_documents(docs, r, 4, seed=0, epoch=0) for r in range(4)]
+        all_docs = [d for s in shards for d in s]
+        assert len(set(all_docs)) == len(all_docs) == 100
+
+    def test_dataloader_shapes(self):
+        dl = make_lm_dataloader(seq_len=64, batch_size=4, vocab_size=100)
+        batch = next(dl)
+        assert batch.shape == (4, 64) and batch.dtype == np.int32
+        assert batch.max() < 100
+
+
+class TestCheckpoint:
+    def test_save_load_resume(self, tmp_path):
+        state = {"w": jnp.arange(8.0), "step": jnp.asarray(3)}
+        p1 = save_checkpoint(str(tmp_path), 5, state)
+        assert checkpoint_step(p1) == 5
+        save_checkpoint(str(tmp_path), 10, state)
+        path = resolve_resume_path(str(tmp_path), "latest")
+        assert checkpoint_step(path) == 10
+        restored = load_checkpoint(path, jax.tree.map(jnp.zeros_like, state))
+        np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(8.0))
+
+    def test_prune_keeps_latest(self, tmp_path):
+        state = {"w": jnp.zeros(2)}
+        for s in range(1, 6):
+            save_checkpoint(str(tmp_path), s, state, keep=2)
+        ckpts = sorted(os.listdir(tmp_path / "checkpoints"))
+        assert "step_00000004" in ckpts and "step_00000005" in ckpts
+        assert "step_00000001" not in ckpts
+
+
+class TestMonitors:
+    def test_finite_check(self):
+        assert bool(finite_check({"a": jnp.ones(3)}))
+        assert not bool(finite_check({"a": jnp.array([1.0, jnp.nan])}))
+
+    def test_nan_breaker(self):
+        b = NaNLossBreaker(patience=3)
+        assert not b.update(float("nan"))
+        assert not b.update(float("nan"))
+        assert b.update(float("nan"))
+        b2 = NaNLossBreaker(patience=2)
+        b2.update(float("nan"))
+        b2.update(1.0)  # reset
+        assert not b2.update(float("nan"))
+
+    def test_logbuffer(self):
+        buf = LogBuffer(window=2)
+        buf.update(loss=1.0)
+        buf.update(loss=3.0)
+        buf.update(loss=5.0)
+        assert buf.average()["loss"] == 4.0
+
+
+class TestSmokeTrainCLI:
+    def test_lm_train_few_steps(self, tmp_path):
+        from mhla_tpu.train.lm_train import main
+
+        out = main([
+            f"--work_dir={tmp_path}/run",
+            "--bf16=false",
+            "--model.hidden_size=64",
+            "--model.num_hidden_layers=2",
+            "--model.num_heads=2",
+            "--model.vocab_size=128",
+            "--model.max_position_embeddings=64",
+            "--model.chunk_size=16",
+            "--train.max_steps=5",
+            "--train.batch_size=8",
+            "--train.seq_len=64",
+            "--train.log_interval=2",
+            "--train.save_interval=100",
+            "--optimizer.warmup_steps=2",
+            "--optimizer.total_steps=5",
+        ])
+        assert np.isfinite(out["final_loss"])
+        # checkpoint written and resumable
+        path = resolve_resume_path(f"{tmp_path}/run", "latest")
+        assert path is not None and checkpoint_step(path) == 5
+
+
+class TestPPLEval:
+    def test_blockwise_ppl(self):
+        from mhla_tpu.eval import PerplexityEvaluator
+        from mhla_tpu.models import MHLAForCausalLM, MHLALMConfig
+
+        cfg = MHLALMConfig(
+            hidden_size=32, num_hidden_layers=1, num_heads=2, vocab_size=64,
+            max_position_embeddings=128, chunk_size=16,
+        )
+        model = MHLAForCausalLM(cfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128), jnp.int32))
+        ev = PerplexityEvaluator(model, params, block_size=128, bucket_size=32)
+        tokens = np.random.default_rng(0).integers(0, 64, size=256)
+        out = ev.evaluate_tokens(tokens)
+        assert "ppl" in out and "ppl@32" in out
+        # untrained model on uniform tokens: ppl near vocab size
+        assert 20 < out["ppl"] < 200
