@@ -1,0 +1,93 @@
+"""Driver benchmark: causal MHLA throughput vs flash (softmax) attention.
+
+Measures the core-op speedup at the BASELINE.md north-star scenario — 32k
+tokens, 8 heads, head dim 128, bf16, on the real TPU — and prints ONE JSON
+line. ``vs_baseline`` is the measured speedup over the 2.0x driver target
+(BASELINE.json: "MHLA Pallas kernel >= 2x softmax-attention throughput at
+32k+ tokens").
+
+Timing methodology: through the TPU relay, ``block_until_ready`` can return
+before execution and repeated identical dispatches may be replayed, so each
+op is timed as a *chained* loop (output feeds input) closed by a host value
+read, at two run lengths whose difference cancels the fixed sync overhead.
+
+Usage: python bench.py [--seq 32768] [--heads 8] [--dim 128] [--iters 25]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", type=int, default=32768)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=25)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mhla_tpu.kernels import flash_attention, mhla_chunk_fused
+    from mhla_tpu.ops import init_causal_mixing_matrix
+
+    b, t, h, d = args.batch, args.seq, args.heads, args.dim
+    key = jax.random.PRNGKey(0)
+    q = jax.nn.relu(jax.random.normal(key, (b, t, h, d), jnp.bfloat16))
+    k = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(1), (b, t, h, d), jnp.bfloat16))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, t, h, d), jnp.bfloat16)
+    m = init_causal_mixing_matrix(t // args.chunk)
+
+    def measure(f, x, extra, n1=5, n2=None):
+        n2 = n2 or args.iters
+        y = f(x, *extra)
+        float(jnp.sum(y.astype(jnp.float32)))  # compile + warm
+
+        def run(n):
+            z = x
+            t0 = time.perf_counter()
+            for _ in range(n):
+                z = f(z, *extra)
+            float(jnp.sum(z.astype(jnp.float32)))  # forces completion
+            return time.perf_counter() - t0
+
+        return (run(n2) - run(n1)) / (n2 - n1)
+
+    # chained: output re-enters as q (relu keeps it a valid positive feature)
+    f_flash = jax.jit(
+        lambda x, k, v: jax.nn.relu(flash_attention(x, k, v, causal=True))
+    )
+    f_mhla = jax.jit(
+        lambda x, k, v: jax.nn.relu(mhla_chunk_fused(x, k, v, m)[0])
+    )
+
+    t_flash = measure(f_flash, q, (k, v))
+    t_mhla = measure(f_mhla, q, (k, v))
+
+    speedup = t_flash / t_mhla
+    print(
+        f"[bench] seq={t} flash={t_flash*1e3:.2f}ms mhla={t_mhla*1e3:.2f}ms "
+        f"tok/s={b*t/t_mhla:,.0f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "mhla_vs_flash_speedup_32k",
+                "value": round(speedup, 3),
+                "unit": "x",
+                "vs_baseline": round(speedup / 2.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Flash (softmax) attention for TPU — the baseline the reference gets from
+flash-attn 2/3 (``mhla_videogen/.../wan/attention.py:31-180``) and the compute
+path of the hybrid softmax layers.
+
+On TPU the fused kernel is Pallas flash attention (the library kernel
+shipped with JAX, ``jax.experimental.pallas.ops.tpu.flash_attention``); on
+CPU (tests) it falls back to ``jax.nn.dot_product_attention``. Layout is
+[B, T, H, D] at the API; the kernel wants [B, H, T, D].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "scale"))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """[B, T, H, D] flash attention; fp32 softmax accumulation."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if _on_tpu():
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            flash_attention as pallas_flash,
+        )
+
+        qt = q.transpose(0, 2, 1, 3)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+        t = q.shape[1]
+        blk = min(512, t)
+        sizes = BlockSizes(
+            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+            block_q_major_dkv=blk, block_k_major_dkv=blk,
+            block_k_dkv=blk, block_q_dkv=blk,
+            block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+        )
+        o = pallas_flash(
+            qt, kt, vt, causal=causal, sm_scale=scale, block_sizes=sizes
+        )
+        return o.transpose(0, 2, 1, 3)
+    return jax.nn.dot_product_attention(
+        q, k, v, scale=scale, is_causal=causal
+    )

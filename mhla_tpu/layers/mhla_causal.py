@@ -170,7 +170,10 @@ class MHLACausal(nn.Module):
             rec = state.recurrent if state is not None else None
             o, rec = mhla_recurrent(q, k, v, mixing, rec, chunk_size=self.chunk_size)
         else:
-            o, states = mhla_chunk(
+            # fused Pallas phase-C kernel on TPU; same math as ops.mhla_chunk
+            from ..kernels import mhla_chunk_fused
+
+            o, states = mhla_chunk_fused(
                 q, k, v, mixing, chunk_size=self.chunk_size,
                 output_final_state=use_cache,
             )

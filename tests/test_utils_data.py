@@ -178,3 +178,35 @@ class TestPPLEval:
         assert "ppl" in out and "ppl@32" in out
         # untrained model on uniform tokens: ppl near vocab size
         assert 20 < out["ppl"] < 200
+
+
+class TestCAME:
+    def test_converges_and_factored_state(self):
+        import optax
+        from mhla_tpu.train.came import came
+
+        params = {"w": jnp.ones((8, 16)), "b": jnp.zeros((16,))}
+        tx = came(1e-2, weight_decay=0.01)
+        state = tx.init(params)
+        assert state.v_row["w"].shape == (8,)  # factored
+        assert state.v_col["w"].shape == (16,)
+        assert state.v_row["b"].shape == (16,)  # full for vectors
+
+        def loss(p):
+            return jnp.sum((p["w"] @ jnp.ones((16,)) - 3.0) ** 2) + jnp.sum(p["b"] ** 2)
+
+        l0 = float(loss(params))
+        for i in range(50):
+            g = jax.grad(loss)(params)
+            u, state = tx.update(g, state, params)
+            params = optax.apply_updates(params, u)
+        assert float(loss(params)) < l0 * 0.01
+
+    def test_optimizer_config_came(self):
+        from mhla_tpu.train import OptimizerConfig, make_optimizer
+
+        tx = make_optimizer(OptimizerConfig(optimizer="came", warmup_steps=1, total_steps=10))
+        params = {"w": jnp.ones((4, 4))}
+        state = tx.init(params)
+        u, _ = tx.update({"w": jnp.ones((4, 4))}, state, params)
+        assert np.isfinite(np.asarray(u["w"])).all()
