@@ -315,7 +315,9 @@ def build_dit(name: str, **overrides) -> Tuple[DiT, DiTConfig]:
     """'DiT-S/2'-style names, matching the reference ``DiT_models`` dict."""
     body = name[len("DiT-"):]
     size, patch = body.rsplit("/", 1)
-    cfg = DiTConfig(patch_size=int(patch), **_DIT_SIZES[size], **overrides)
+    kwargs = {"patch_size": int(patch), **_DIT_SIZES[size]}
+    kwargs.update(overrides)  # explicit overrides beat the size preset
+    cfg = DiTConfig(**kwargs)
     return DiT(cfg), cfg
 
 

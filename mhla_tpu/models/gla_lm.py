@@ -154,6 +154,25 @@ class MHLABlock(nn.Module):
                 name="attn",
             )
             h, new_state = attn(h, state, use_cache)
+        elif cfg.attn_extends in ("gla", "simple_gla"):
+            from ..layers.gla import GatedLinearAttention
+
+            attn = GatedLinearAttention(
+                hidden_size=cfg.hidden_size,
+                expand_k=cfg.expand_k,
+                expand_v=cfg.expand_v,
+                num_heads=cfg.num_heads,
+                num_kv_heads=cfg.num_kv_heads,
+                feature_map=cfg.feature_map,
+                use_output_gate=cfg.use_output_gate,
+                elementwise_affine=cfg.elementwise_affine,
+                norm_eps=cfg.norm_eps,
+                chunk_size=cfg.chunk_size,
+                simple=cfg.attn_extends == "simple_gla",
+                dtype=cfg.dtype,
+                name="attn",
+            )
+            h, new_state = attn(h, state, use_cache)
         elif cfg.attn_extends == "linear_attn":
             h, new_state = _LinearAttnLayer(cfg, name="attn")(h, state, use_cache)
         else:

@@ -50,17 +50,20 @@ def apply_distance_transform(
     exp_sigma: float = 3.0,
 ) -> np.ndarray:
     """Distance matrix -> mixing weights. See module docstring for norms."""
+    # single-block (or degenerate) grids have an all-zero distance matrix;
+    # normalize by 1 so the transforms yield uniform weights instead of NaN
+    max_dist = dist.max() if dist.max() > 0 else 1.0
     if transform == "linear":
-        mat = 1.0 - dist / dist.max()
+        mat = 1.0 - dist / max_dist
         return mat / mat.sum(axis=0, keepdims=True)
     if transform == "cos":
-        mat = np.cos(dist / dist.max() * math.pi / 4)
+        mat = np.cos(dist / max_dist * math.pi / 4)
         return mat / mat.sum(axis=0, keepdims=True)
     if transform == "exp":
         mat = np.exp(-dist / exp_sigma)
         return mat / mat.sum(axis=0, keepdims=True)
     if transform == "gaussian":
-        sigma = dist.max() / 3
+        sigma = max_dist / 3
         return np.exp(-(dist**2) / (2 * sigma**2))
     if transform == "local":
         mat = (dist <= local_thres).astype(np.float64)

@@ -49,9 +49,19 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the batch axis over data x fsdp (every device gets a slice)."""
-    return NamedSharding(mesh, P((DATA_AXIS, FSDP_AXIS)))
+def batch_sharding(mesh: Mesh, batch_size: Optional[int] = None) -> NamedSharding:
+    """Shard the batch axis over data x fsdp (every device gets a slice).
+
+    When ``batch_size`` is given and not divisible by the full device count,
+    fall back to the largest divisible prefix of axes (data only, then
+    replicated) so small/debug batches still run.
+    """
+    n_both = mesh.shape[DATA_AXIS] * mesh.shape[FSDP_AXIS]
+    if batch_size is None or batch_size % n_both == 0:
+        return NamedSharding(mesh, P((DATA_AXIS, FSDP_AXIS)))
+    if batch_size % mesh.shape[DATA_AXIS] == 0:
+        return NamedSharding(mesh, P(DATA_AXIS))
+    return NamedSharding(mesh, P())
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -120,7 +120,7 @@ def main(argv=None) -> dict:
         last_loss = float("nan")
 
         for step_idx in range(start_step, cfg.train.max_steps):
-            batch = jax.device_put(jnp.asarray(next(data)), batch_sharding(mesh))
+            batch = jax.device_put(jnp.asarray(next(data)), batch_sharding(mesh, cfg.train.batch_size))
             state, metrics = step_fn(state, batch, jax.random.fold_in(rng, step_idx))
             last_loss = float(metrics["loss"])
             buf.update(loss=last_loss, grad_norm=float(metrics["grad_norm"]))

@@ -1,0 +1,252 @@
+"""Wan video flow-matching training (train_wan.py analogue).
+
+TPU re-design of the reference video trainer (``mhla_videogen/train_wan.py``):
+flow-velocity loss with logit-normal timestep sampling (:625-635), text
+null-embedding dropout for CFG (:608-615), hybrid MHLA/softmax model from
+``linear_attn_idx``, gradient checkpointing per block, FSDP sharding over
+the mesh, EMA, NaN circuit breaker (:791-792), time-boxed runs with
+latest-symlink resume (``early_stop_hours``, :842-844,1025-1029).
+
+Latents/text come from a cached-latent dir (the reference's cached-VAE path,
+:466-472) or synthetic streams; the frozen T5/VAE encoders plug in through
+``mhla_tpu.models.t5``/``vae`` when weights are available.
+
+Usage:
+    python -m mhla_tpu.train.wan_train --train.max_steps=50 ...
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from pathlib import Path
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion import flow_training_loss, logit_normal_timesteps
+from ..models.wan import WanConfig, WanModel, build_wan_config
+from ..parallel import batch_sharding, make_mesh
+from ..utils.checkpoint import (
+    checkpoint_step,
+    load_checkpoint,
+    resolve_resume_path,
+    save_checkpoint,
+)
+from ..utils.config import dump_config, parse_cli
+from ..utils.logging import LogBuffer, Throughput, get_root_logger
+from ..utils.monitor import NaNLossBreaker
+from .trainer import (
+    OptimizerConfig,
+    init_train_state_sharded,
+    make_optimizer,
+    make_train_step,
+)
+
+
+@dataclasses.dataclass
+class WanTrainLoop:
+    max_steps: int = 50
+    batch_size: int = 1
+    log_interval: int = 5
+    save_interval: int = 1000
+    ema_decay: Optional[float] = 0.9999
+    class_dropout_prob: float = 0.1  # null-text dropout for CFG
+    timestep_mean: float = 0.0  # logit-normal params
+    timestep_std: float = 1.0
+    early_stop_hours: Optional[float] = None
+    nan_patience: int = 20
+    seed: int = 0
+    resume_from: Optional[str] = "latest"
+
+
+@dataclasses.dataclass
+class WanModelCfg:
+    model: str = "Wan_T2V_1300M"
+    linear_attn_idx: Optional[Tuple[int, ...]] = tuple(
+        i for i in range(30) if i % 3 != 0
+    )  # hybrid 2/3 schedule (reference yaml:34)
+    self_attn_type: str = "mhla_uni"
+    rope_after: bool = True
+    without_rope: bool = False
+    norm_output: bool = False
+    is_gated: bool = True
+    is_lepe: bool = False
+    block_layout: Tuple[int, int, int] = (3, 5, 10)
+    mhla_adjust: bool = True
+    # size overrides (None -> preset from `model`); used for debug/smoke runs
+    dim: Optional[int] = None
+    ffn_dim: Optional[int] = None
+    num_heads: Optional[int] = None
+    num_layers: Optional[int] = None
+
+
+@dataclasses.dataclass
+class WanDataCfg:
+    latent_dir: Optional[str] = None  # cached latents; None -> synthetic
+    latent_frames: int = 21  # 81 frames / vae stride 4 (+1)
+    latent_height: int = 60  # 480 / 8
+    latent_width: int = 100  # 800 / 8
+    latent_dim: int = 16
+    text_len: int = 512
+    text_dim: int = 4096
+
+
+@dataclasses.dataclass
+class WanTrainConfig:
+    model: WanModelCfg = dataclasses.field(default_factory=WanModelCfg)
+    data: WanDataCfg = dataclasses.field(default_factory=WanDataCfg)
+    optimizer: OptimizerConfig = dataclasses.field(
+        default_factory=lambda: OptimizerConfig(
+            learning_rate=1e-4, weight_decay=0.01, grad_clip=0.1,  # yaml:84
+            warmup_steps=100, total_steps=100_000, optimizer="adamw",
+        )
+    )
+    train: WanTrainLoop = dataclasses.field(default_factory=WanTrainLoop)
+    work_dir: str = "work_dirs/wan"
+    bf16: bool = True
+
+
+def build_model(cfg: WanTrainConfig) -> Tuple[WanModel, WanConfig]:
+    size_overrides = {
+        k: getattr(cfg.model, k)
+        for k in ("dim", "ffn_dim", "num_heads", "num_layers")
+        if getattr(cfg.model, k) is not None
+    }
+    mc = build_wan_config(
+        cfg.model.model,
+        **size_overrides,
+        linear_attn_idx=cfg.model.linear_attn_idx,
+        attn_type=cfg.model.self_attn_type,
+        rope_after=cfg.model.rope_after,
+        without_rope=cfg.model.without_rope,
+        normalize_out=cfg.model.norm_output,
+        is_gated=cfg.model.is_gated,
+        is_lepe=cfg.model.is_lepe,
+        block_layout=cfg.model.block_layout,
+        grid_adjust=cfg.model.mhla_adjust,
+        in_dim=cfg.data.latent_dim,
+        out_dim=cfg.data.latent_dim,
+        text_dim=cfg.data.text_dim,
+        dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
+    )
+    return WanModel(mc), mc
+
+
+def video_batches(cfg: WanTrainConfig, rng: np.random.Generator):
+    d = cfg.data
+    shape = (cfg.train.batch_size, d.latent_frames, d.latent_height, d.latent_width, d.latent_dim)
+    if d.latent_dir and Path(d.latent_dir).exists():
+        files = sorted(Path(d.latent_dir).glob("*.npz"))
+        assert files, f"no cached latents under {d.latent_dir}"
+        while True:
+            for start in range(0, len(files) - cfg.train.batch_size + 1, cfg.train.batch_size):
+                zs, cs = [], []
+                for f in files[start : start + cfg.train.batch_size]:
+                    blob = np.load(f)
+                    zs.append(blob["latent"])
+                    cs.append(blob["text_emb"])
+                yield np.stack(zs).astype(np.float32), np.stack(cs).astype(np.float32)
+    else:
+        while True:
+            z = rng.standard_normal(shape, dtype=np.float32)
+            c = rng.standard_normal(
+                (cfg.train.batch_size, d.text_len, d.text_dim), dtype=np.float32
+            ) * 0.02
+            yield z, c
+
+
+def main(argv=None) -> dict:
+    cfg = parse_cli(WanTrainConfig, argv if argv is not None else sys.argv[1:])
+    logger = get_root_logger(f"{cfg.work_dir}/train.log")
+    dump_config(cfg, f"{cfg.work_dir}/config.yaml")
+
+    model, mc = build_model(cfg)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    d = cfg.data
+    z0 = jnp.zeros(
+        (cfg.train.batch_size, d.latent_frames, d.latent_height, d.latent_width, d.latent_dim)
+    )
+    c0 = jnp.zeros((cfg.train.batch_size, d.text_len, d.text_dim))
+    params = jax.jit(model.init)(rng, z0, jnp.zeros((cfg.train.batch_size,)), c0)
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    logger.info(f"{cfg.model.model}: {n_params/1e6:.1f}M params, "
+                f"hybrid={len(mc.linear_attn_idx or ())}/{mc.num_layers} MHLA layers")
+
+    tx = make_optimizer(cfg.optimizer)
+    mesh = make_mesh()
+
+    def loss_fn(p, batch, step_rng):
+        z, ctx = batch
+        t_rng, n_rng, d_rng = jax.random.split(step_rng, 3)
+        t01 = logit_normal_timesteps(
+            t_rng, z.shape[0], cfg.train.timestep_mean, cfg.train.timestep_std
+        )
+        # null-text dropout for CFG (zero embedding = null condition)
+        drop = jax.random.bernoulli(
+            d_rng, cfg.train.class_dropout_prob, (z.shape[0], 1, 1)
+        )
+        ctx = jnp.where(drop, 0.0, ctx)
+
+        def vmodel(x_t, tt):
+            return model.apply(
+                p, x_t.astype(mc.dtype), tt * 1000.0, ctx.astype(mc.dtype)
+            )
+
+        out = flow_training_loss(vmodel, z, t01, n_rng)
+        return out["loss"].mean(), {}
+
+    with mesh:
+        state = init_train_state_sharded(
+            params, tx, mesh, ema=cfg.train.ema_decay is not None
+        )
+        step_fn = make_train_step(loss_fn, tx, ema_decay=cfg.train.ema_decay)
+        start = 0
+        if cfg.train.resume_from:
+            path = resolve_resume_path(cfg.work_dir, cfg.train.resume_from)
+            if path:
+                state = load_checkpoint(path, state)
+                start = checkpoint_step(path)
+                logger.info(f"resumed from {path}")
+
+        data = video_batches(cfg, np.random.default_rng(cfg.train.seed))
+        buf, thr = LogBuffer(), Throughput(cfg.train.max_steps)
+        breaker = NaNLossBreaker(cfg.train.nan_patience)
+        t_start = time.time()
+        last = float("nan")
+        for i in range(start, cfg.train.max_steps):
+            z, c = next(data)
+            batch = (
+                jax.device_put(jnp.asarray(z), batch_sharding(mesh, cfg.train.batch_size)),
+                jax.device_put(jnp.asarray(c), batch_sharding(mesh, cfg.train.batch_size)),
+            )
+            state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
+            last = float(metrics["loss"])
+            buf.update(loss=last, grad_norm=float(metrics["grad_norm"]))
+            if breaker.update(last):
+                logger.error("NaN circuit breaker tripped; aborting")
+                break
+            if (i + 1) % cfg.train.log_interval == 0:
+                speed = thr.step(i + 1, cfg.train.batch_size)
+                avg = buf.average()
+                logger.info(
+                    f"step {i+1}/{cfg.train.max_steps} loss {avg['loss']:.4f} "
+                    f"gnorm {avg['grad_norm']:.3f} {speed['items_per_sec']:.2f} vid/s"
+                )
+            if (i + 1) % cfg.train.save_interval == 0:
+                save_checkpoint(cfg.work_dir, i + 1, state)
+            if (
+                cfg.train.early_stop_hours
+                and (time.time() - t_start) / 3600 > cfg.train.early_stop_hours
+            ):
+                logger.info("early_stop_hours reached; checkpointing and exiting")
+                break
+        save_checkpoint(cfg.work_dir, min(cfg.train.max_steps, i + 1), state)
+    return {"final_loss": last, "params": n_params}
+
+
+if __name__ == "__main__":
+    main()

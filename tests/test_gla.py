@@ -1,0 +1,90 @@
+"""GLA op and layer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mhla_tpu.layers.gla import GatedLinearAttention
+from mhla_tpu.models import MHLAForCausalLM, MHLALMConfig
+from mhla_tpu.ops.gla_chunk import gla_chunk, gla_recurrent
+from mhla_tpu.utils.testing import assert_close
+
+
+def qkvg(key, b, t, h, dk, dv, scalar_gate=False):
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (b, t, h, dk))
+    k = jax.random.normal(ks[1], (b, t, h, dk))
+    v = jax.random.normal(ks[2], (b, t, h, dv))
+    shape = (b, t, h) if scalar_gate else (b, t, h, dk)
+    gk = jax.nn.log_sigmoid(jax.random.normal(ks[3], shape)) / 16
+    return q, k, v, gk
+
+
+class TestGLAOps:
+    @pytest.mark.parametrize("t", [32, 64, 100, 200])
+    def test_chunk_matches_recurrent(self, key, t):
+        q, k, v, gk = qkvg(key, 2, t, 2, 8, 12)
+        o_rec, s_rec = gla_recurrent(q, k, v, gk, output_final_state=True)
+        o_chk, s_chk = gla_chunk(q, k, v, gk, chunk_size=32, output_final_state=True)
+        assert_close(f"gla t={t}", o_rec, o_chk, 1e-4)
+        assert_close("gla state", s_rec, s_chk, 1e-4)
+
+    def test_scalar_gate_broadcast(self, key):
+        q, k, v, gk = qkvg(key, 1, 64, 2, 8, 8, scalar_gate=True)
+        o_rec, _ = gla_recurrent(q, k, v, gk)
+        o_chk, _ = gla_chunk(q, k, v, gk, chunk_size=16)
+        assert_close("simple gla", o_rec, o_chk, 1e-4)
+
+    def test_zero_decay_equals_linear_attention(self, key):
+        """gk = 0 (no decay) reduces GLA to cumulative linear attention."""
+        q, k, v, _ = qkvg(key, 1, 48, 2, 8, 8)
+        gk = jnp.zeros((1, 48, 2, 8))
+        o, _ = gla_chunk(q, k, v, gk, chunk_size=16)
+        scale = 8**-0.5
+        kv = jnp.cumsum(jnp.einsum("bthk,bthv->bthkv", k, v), axis=1)
+        o_ref = jnp.einsum("bthk,bthkv->bthv", q * scale, kv)
+        assert_close("no-decay", o_ref, o, 1e-4)
+
+    def test_initial_state_continuation(self, key):
+        q, k, v, gk = qkvg(key, 1, 64, 2, 8, 8)
+        o_full, _ = gla_chunk(q, k, v, gk, chunk_size=16)
+        o1, s = gla_chunk(
+            q[:, :32], k[:, :32], v[:, :32], gk[:, :32],
+            chunk_size=16, output_final_state=True,
+        )
+        o2, _ = gla_chunk(
+            q[:, 32:], k[:, 32:], v[:, 32:], gk[:, 32:],
+            initial_state=s, chunk_size=16,
+        )
+        assert_close("state handoff", o_full, jnp.concatenate([o1, o2], 1), 1e-4)
+
+
+class TestGLALayer:
+    @pytest.mark.parametrize("simple", [False, True])
+    def test_forward_and_decode(self, key, simple):
+        layer = GatedLinearAttention(
+            hidden_size=32, num_heads=2, chunk_size=8, simple=simple
+        )
+        x = jax.random.normal(key, (1, 24, 32))
+        (y_full, _), params = layer.init_with_output(key, x)
+        assert y_full.shape == (1, 24, 32)
+
+        y_pre, state = layer.apply(params, x[:, :16], use_cache=True)
+        outs = [y_pre]
+        for i in range(16, 24):
+            y_i, state = layer.apply(params, x[:, i : i + 1], state, use_cache=True)
+            outs.append(y_i)
+        assert_close("gla layer decode", y_full, jnp.concatenate(outs, 1), 1e-4)
+
+    def test_lm_with_gla_extends(self, key):
+        for extends in ("gla", "simple_gla"):
+            cfg = MHLALMConfig(
+                hidden_size=32, num_hidden_layers=1, num_heads=2, vocab_size=64,
+                max_position_embeddings=32, chunk_size=8, attn_extends=extends,
+                feature_map=None,
+            )
+            model = MHLAForCausalLM(cfg)
+            ids = jnp.zeros((1, 16), jnp.int32)
+            logits, _ = model.init_with_output(key, ids)
+            assert logits[0].shape == (1, 16, 64)

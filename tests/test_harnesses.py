@@ -1,0 +1,137 @@
+"""Smoke tests for the training/inference harnesses at toy scale."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+class TestDiTTrain:
+    def test_few_steps_and_sample(self, tmp_path):
+        from mhla_tpu.train.dit_train import main, sample
+        from mhla_tpu.models.dit import build_dit
+
+        out = main([
+            f"--work_dir={tmp_path}/dit",
+            "--model_name=DiT-S/2",
+            "--depth=2",
+            "--hidden_size=64",
+            "--num_heads=2",
+            "--input_size=8",
+            "--block_size=4",
+            "--num_classes=10",
+            "--bf16=false",
+            "--train.max_steps=3",
+            "--train.batch_size=4",
+            "--train.log_interval=1",
+            "--train.save_interval=100",
+            "--optimizer.total_steps=3",
+        ])
+        assert np.isfinite(out["final_loss"])
+
+        model, cfg = build_dit("DiT-S/2", input_size=8, block_size=4,
+                               num_classes=10, depth=1, hidden_size=64,
+                               num_heads=2)
+        rngs = {"params": jax.random.PRNGKey(0), "label_dropout": jax.random.PRNGKey(1)}
+        x = jnp.zeros((2, 8, 8, 4))
+        params = model.init(rngs, x, jnp.zeros(2), jnp.zeros(2, jnp.int32))
+        imgs = sample(model, params, jnp.array([1, 2]), num_steps="4")
+        assert imgs.shape == (2, 8, 8, 4)
+        assert np.isfinite(np.asarray(imgs)).all()
+
+
+class TestViTTrain:
+    def test_few_steps(self, tmp_path):
+        from mhla_tpu.train.vit_train import main
+
+        out = main([
+            f"--work_dir={tmp_path}/vit",
+            "--model_name=deit_tiny_mhla",
+            "--img_size=32",
+            "--piece_size=2",
+            "--num_classes=10",
+            "--bf16=false",
+            "--train.max_steps=3",
+            "--train.batch_size=8",
+            "--train.log_interval=1",
+            "--train.save_interval=100",
+            "--optimizer.total_steps=3",
+            "--optimizer.warmup_steps=1",
+        ])
+        assert np.isfinite(out["final_loss"])
+
+    def test_mixup_preserves_target_mass(self, key):
+        from mhla_tpu.train.vit_train import mixup_cutmix
+
+        x = jax.random.normal(key, (4, 16, 16, 3))
+        y = jax.nn.one_hot(jnp.array([0, 1, 2, 3]), 10)
+        x2, y2 = mixup_cutmix(key, x, y, 0.8, 1.0)
+        np.testing.assert_allclose(np.asarray(y2.sum(-1)), 1.0, rtol=1e-5)
+
+
+class TestWanTrain:
+    def test_few_steps(self, tmp_path):
+        from mhla_tpu.train.wan_train import main
+
+        out = main([
+            f"--work_dir={tmp_path}/wan",
+            "--model.model=Wan_T2V_1300M",
+            "--model.dim=48",
+            "--model.ffn_dim=96",
+            "--model.num_heads=4",
+            "--model.num_layers=2",
+            "--model.linear_attn_idx=(0,)",
+            "--model.block_layout=(2,2,2)",
+            "--bf16=false",
+            "--data.latent_frames=4",
+            "--data.latent_height=8",
+            "--data.latent_width=8",
+            "--data.latent_dim=4",
+            "--data.text_len=8",
+            "--data.text_dim=32",
+            "--train.max_steps=2",
+            "--train.log_interval=1",
+            "--train.save_interval=100",
+            "--optimizer.total_steps=2",
+            "--optimizer.warmup_steps=1",
+        ], )
+
+        assert np.isfinite(out["final_loss"])
+
+
+class TestVideoInference:
+    def test_dpm_solver_sampling(self, key):
+        from mhla_tpu.eval.video_inference import sample_video_latents
+        from mhla_tpu.models.wan import WanConfig, WanModel
+
+        cfg = WanConfig(
+            dim=48, ffn_dim=96, num_heads=4, num_layers=2, text_len=8,
+            text_dim=32, in_dim=4, out_dim=4, block_layout=(2, 2, 2),
+            linear_attn_idx=(0,), remat=False,
+        )
+        model = WanModel(cfg)
+        x0 = jnp.zeros((2, 4, 8, 8, 4))
+        ctx = jnp.zeros((2, 8, 32))
+        params = model.init(key, x0, jnp.zeros(2), ctx)
+        text = jax.random.normal(key, (1, 8, 32)) * 0.02
+        for solver in ("dpm-solver", "flow_euler"):
+            lat = sample_video_latents(
+                model, params, text, latent_shape=(4, 8, 8, 4),
+                num_steps=4, solver=solver,
+            )
+            assert lat.shape == (1, 4, 8, 8, 4)
+            assert np.isfinite(np.asarray(lat)).all()
+
+
+class TestDPMSolverMath:
+    def test_recovers_target_on_exact_model(self, key):
+        """With a perfect x0 model, DPM-Solver++ converges to x0."""
+        from mhla_tpu.diffusion.dpm_solver import dpm_solver_pp
+
+        x0_true = jnp.full((1, 4, 4, 2), 0.5)
+        out = dpm_solver_pp(
+            lambda x, t: jnp.broadcast_to(x0_true, x.shape),
+            jax.random.normal(key, (1, 4, 4, 2)),
+            num_steps=10,
+        )
+        np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-2)
