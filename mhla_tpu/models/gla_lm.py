@@ -230,11 +230,16 @@ class MHLAForCausalLM(nn.Module):
         input_ids: jax.Array,
         states: Optional[List[Any]] = None,
         use_cache: bool = False,
+        output_hidden: bool = False,
     ):
         cfg = self.config
         x, new_states = MHLAModel(cfg, self.remat, name="model")(
             input_ids, states, use_cache
         )
+        if output_hidden:
+            # caller computes the loss via fused_linear_cross_entropy with
+            # unembedding_weight(); logits are never materialized
+            return x, new_states
         if cfg.tie_word_embeddings:
             emb = self.variables["params"]["model"]["embeddings"]["embedding"]
             logits = x @ emb.T.astype(x.dtype)
@@ -255,6 +260,29 @@ class MHLAForCausalLM(nn.Module):
             else:
                 states.append(None)
         return states
+
+
+def unembedding_weight(params, config: MHLALMConfig) -> jax.Array:
+    """[V, H] unembedding matrix for fused-linear-CE training."""
+    if config.tie_word_embeddings:
+        return params["params"]["model"]["embeddings"]["embedding"]
+    return params["params"]["lm_head"]["kernel"].T
+
+
+def fused_lm_loss(
+    model, params, input_ids: jax.Array, ignore_index: int = -100,
+    chunk_size: int = 4096,
+) -> jax.Array:
+    """Shifted LM loss without materializing logits
+    (``fuse_linear_cross_entropy`` path, ``modeling_gla.py:396-397``)."""
+    from ..ops.losses import fused_linear_cross_entropy
+
+    hidden, _ = model.apply(params, input_ids, output_hidden=True)
+    w = unembedding_weight(params, model.config)
+    return fused_linear_cross_entropy(
+        hidden[:, :-1], w, input_ids[:, 1:], chunk_size=chunk_size,
+        ignore_index=ignore_index,
+    )
 
 
 def init_lm_params(params, config: MHLALMConfig, rng: jax.Array):

@@ -1,0 +1,234 @@
+"""umT5 text encoder (frozen, for the video pipeline).
+
+Flax re-design of the reference's trimmed T5 stack
+(``mhla_videogen/diffusion/model/wan/t5.py``: ``T5Attention`` :64 — unscaled
+attention with additive relative-position bias, ``T5FeedForward`` :116 —
+gated-GELU, ``T5RelativeEmbedding`` :187 — log-bucketed relative positions,
+``T5Encoder`` :232; umt5_xxl config :403-417 — 24 layers, dim 4096, 64 heads,
+per-layer position embeddings).
+
+``convert_t5_checkpoint`` maps the reference torch state-dict naming onto
+this module's params so Wan2.1 text-encoder weights load directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 256384
+    dim: int = 4096
+    dim_attn: int = 4096
+    dim_ffn: int = 10240
+    num_heads: int = 64
+    num_layers: int = 24
+    num_buckets: int = 32
+    shared_pos: bool = False  # umT5: per-layer relative embeddings
+    max_dist: int = 128
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+
+
+UMT5_XXL = T5Config()
+
+
+def relative_position_bucket(
+    rel_pos: np.ndarray, num_buckets: int = 32, max_dist: int = 128,
+    bidirectional: bool = True,
+) -> np.ndarray:
+    """T5 log-bucketed relative positions (reference :205-230)."""
+    if bidirectional:
+        half = num_buckets // 2
+        buckets = (rel_pos > 0).astype(np.int64) * half
+        rel_pos = np.abs(rel_pos)
+    else:
+        half = num_buckets
+        buckets = np.zeros_like(rel_pos)
+        rel_pos = -np.minimum(rel_pos, 0)
+    max_exact = half // 2
+    large = max_exact + (
+        np.log(np.maximum(rel_pos, 1) / max_exact)
+        / math.log(max_dist / max_exact)
+        * (half - max_exact)
+    ).astype(np.int64)
+    large = np.minimum(large, half - 1)
+    return buckets + np.where(rel_pos < max_exact, rel_pos, large)
+
+
+class T5LayerNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        xf = x.astype(jnp.float32)
+        xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + self.eps)
+        return (xf * w).astype(x.dtype)
+
+
+class T5RelativeEmbedding(nn.Module):
+    num_buckets: int
+    num_heads: int
+    max_dist: int = 128
+
+    @nn.compact
+    def __call__(self, lq: int, lk: int) -> jax.Array:
+        table = self.param(
+            "embedding",
+            nn.initializers.normal((2 * self.num_buckets * self.num_heads) ** -0.5),
+            (self.num_buckets, self.num_heads),
+            jnp.float32,
+        )
+        rel = np.arange(lk)[None, :] - np.arange(lq)[:, None]
+        buckets = jnp.asarray(
+            relative_position_bucket(rel, self.num_buckets, self.max_dist), jnp.int32
+        )
+        return table[buckets].transpose(2, 0, 1)[None]  # [1, H, Lq, Lk]
+
+
+class T5EncoderBlock(nn.Module):
+    cfg: T5Config
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array],
+        pos_bias: Optional[jax.Array],
+    ) -> jax.Array:
+        cfg = self.cfg
+        h, d = cfg.num_heads, cfg.dim_attn // cfg.num_heads
+        dense = lambda n, name: nn.Dense(  # noqa: E731
+            n, use_bias=False, dtype=cfg.dtype, name=name
+        )
+
+        if pos_bias is None:  # per-layer relative embedding (umT5)
+            pos_bias = T5RelativeEmbedding(
+                cfg.num_buckets, cfg.num_heads, cfg.max_dist, name="pos_embedding"
+            )(x.shape[1], x.shape[1])
+
+        y = T5LayerNorm(cfg.eps, name="norm1")(x)
+        b, t, _ = y.shape
+        q = dense(cfg.dim_attn, "q")(y).reshape(b, t, h, d)
+        k = dense(cfg.dim_attn, "k")(y).reshape(b, t, h, d)
+        v = dense(cfg.dim_attn, "v")(y).reshape(b, t, h, d)
+
+        bias = pos_bias.astype(jnp.float32)
+        if mask is not None:
+            bias = bias + jnp.where(mask[:, None, None, :], 0.0, -1e9)
+        # T5 attention is unscaled (reference :105)
+        attn = jnp.einsum("bihd,bjhd->bhij", q, k).astype(jnp.float32) + bias
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        y = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(b, t, cfg.dim_attn)
+        x = x + dense(cfg.dim, "o")(y)
+
+        y = T5LayerNorm(cfg.eps, name="norm2")(x)
+        # tanh-approximated GELU (reference GELU, t5.py:45-47)
+        gate = jax.nn.gelu(dense(cfg.dim_ffn, "ffn_gate")(y), approximate=True)
+        y = dense(cfg.dim_ffn, "ffn_fc1")(y) * gate
+        x = x + dense(cfg.dim, "ffn_fc2")(y)
+        return x
+
+
+class T5Encoder(nn.Module):
+    cfg: T5Config = UMT5_XXL
+
+    @nn.compact
+    def __call__(
+        self, ids: jax.Array, mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        cfg = self.cfg
+        x = nn.Embed(
+            cfg.vocab_size, cfg.dim,
+            embedding_init=nn.initializers.normal(1.0),
+            dtype=cfg.dtype, name="token_embedding",
+        )(ids)
+        pos_bias = None
+        if cfg.shared_pos:
+            pos_bias = T5RelativeEmbedding(
+                cfg.num_buckets, cfg.num_heads, cfg.max_dist, name="pos_embedding"
+            )(ids.shape[1], ids.shape[1])
+        for i in range(cfg.num_layers):
+            x = T5EncoderBlock(cfg, name=f"blocks_{i}")(x, mask, pos_bias)
+        return T5LayerNorm(cfg.eps, name="norm")(x)
+
+
+def convert_hf_umt5(state: Dict[str, np.ndarray], cfg: T5Config) -> Dict:
+    """HuggingFace UMT5 encoder state-dict -> flax params. HF naming:
+    ``encoder.block.{i}.layer.0.SelfAttention.{q,k,v,o}`` (+ per-layer
+    ``relative_attention_bias``), ``layer.1.DenseReluDense.{wi_0,wi_1,wo}``
+    (wi_0 = gate), and ``shared``/``encoder.final_layer_norm``."""
+
+    def lin(k):
+        return np.asarray(state[k]).T
+
+    params: Dict[str, Any] = {
+        "token_embedding": {"embedding": np.asarray(state["shared.weight"])},
+        "norm": {"weight": np.asarray(state["encoder.final_layer_norm.weight"])},
+    }
+    for i in range(cfg.num_layers):
+        p = f"encoder.block.{i}.layer."
+        params[f"blocks_{i}"] = {
+            "norm1": {"weight": np.asarray(state[p + "0.layer_norm.weight"])},
+            "norm2": {"weight": np.asarray(state[p + "1.layer_norm.weight"])},
+            "q": {"kernel": lin(p + "0.SelfAttention.q.weight")},
+            "k": {"kernel": lin(p + "0.SelfAttention.k.weight")},
+            "v": {"kernel": lin(p + "0.SelfAttention.v.weight")},
+            "o": {"kernel": lin(p + "0.SelfAttention.o.weight")},
+            "pos_embedding": {
+                "embedding": np.asarray(
+                    state[p + "0.SelfAttention.relative_attention_bias.weight"]
+                )
+            },
+            "ffn_gate": {"kernel": lin(p + "1.DenseReluDense.wi_0.weight")},
+            "ffn_fc1": {"kernel": lin(p + "1.DenseReluDense.wi_1.weight")},
+            "ffn_fc2": {"kernel": lin(p + "1.DenseReluDense.wo.weight")},
+        }
+    return {"params": params}
+
+
+def convert_t5_checkpoint(
+    state: Dict[str, np.ndarray], cfg: T5Config = UMT5_XXL
+) -> Dict:
+    """Torch state-dict (reference t5.py naming, encoder prefix stripped) ->
+    flax params for :class:`T5Encoder`. Linear kernels are transposed."""
+
+    def lin(k):
+        return np.asarray(state[k]).T
+
+    params: Dict[str, Any] = {
+        "token_embedding": {"embedding": np.asarray(state["token_embedding.weight"])},
+        "norm": {"weight": np.asarray(state["norm.weight"])},
+    }
+    if cfg.shared_pos:
+        params["pos_embedding"] = {
+            "embedding": np.asarray(state["pos_embedding.embedding.weight"])
+        }
+    for i in range(cfg.num_layers):
+        p = f"blocks.{i}."
+        blk = {
+            "norm1": {"weight": np.asarray(state[p + "norm1.weight"])},
+            "norm2": {"weight": np.asarray(state[p + "norm2.weight"])},
+            "q": {"kernel": lin(p + "attn.q.weight")},
+            "k": {"kernel": lin(p + "attn.k.weight")},
+            "v": {"kernel": lin(p + "attn.v.weight")},
+            "o": {"kernel": lin(p + "attn.o.weight")},
+            "ffn_gate": {"kernel": lin(p + "ffn.gate.0.weight")},
+            "ffn_fc1": {"kernel": lin(p + "ffn.fc1.weight")},
+            "ffn_fc2": {"kernel": lin(p + "ffn.fc2.weight")},
+        }
+        if not cfg.shared_pos:
+            blk["pos_embedding"] = {
+                "embedding": np.asarray(state[p + "pos_embedding.embedding.weight"])
+            }
+        params[f"blocks_{i}"] = blk
+    return {"params": params}

@@ -1,0 +1,88 @@
+"""LM losses: fused linear + cross-entropy without logit materialization.
+
+TPU equivalent of the reference's fused Triton losses
+(``fla/modules/fused_cross_entropy.py`` and
+``fused_linear_cross_entropy.py`` — the ``fuse_linear_cross_entropy`` option
+of the LM, a large memory win at 32k vocab): the [B*T, V] logits are never
+materialized in HBM. Token chunks are processed under ``jax.checkpoint`` so
+the backward pass recomputes each chunk's logits instead of storing them —
+peak memory drops from O(T * V) to O(chunk * V).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy(
+    logits: jax.Array, labels: jax.Array, ignore_index: int = -100,
+    label_smoothing: float = 0.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-token CE over the last axis; returns (nll [.., T], mask)."""
+    logits = logits.astype(jnp.float32)
+    mask = labels != ignore_index
+    safe = jnp.where(mask, labels, 0)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    nll = logz - gold
+    if label_smoothing > 0:
+        nll = (1 - label_smoothing) * nll + label_smoothing * (
+            logz - logits.mean(axis=-1)
+        )
+    return nll * mask, mask
+
+
+@partial(
+    jax.jit, static_argnames=("chunk_size", "ignore_index", "label_smoothing")
+)
+def fused_linear_cross_entropy(
+    hidden: jax.Array,  # [B, T, H] final hidden states
+    weight: jax.Array,  # [V, H] unembedding matrix (tied embedding)
+    labels: jax.Array,  # [B, T] int labels (already shifted)
+    bias: Optional[jax.Array] = None,
+    chunk_size: int = 4096,
+    ignore_index: int = -100,
+    label_smoothing: float = 0.0,
+) -> jax.Array:
+    """Mean CE of ``hidden @ weight.T`` vs labels, logits never stored."""
+    b, t, h = hidden.shape
+    x = hidden.reshape(b * t, h)
+    y = labels.reshape(b * t)
+    n = b * t
+    pad = (-n) % chunk_size
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        y = jnp.pad(y, ((0, pad),), constant_values=ignore_index)
+    n_chunks = x.shape[0] // chunk_size
+    x = x.reshape(n_chunks, chunk_size, h)
+    y = y.reshape(n_chunks, chunk_size)
+
+    @jax.checkpoint
+    def chunk_loss(x_c, y_c):
+        logits = x_c.astype(jnp.float32) @ weight.T.astype(jnp.float32)
+        if bias is not None:
+            logits = logits + bias.astype(jnp.float32)
+        nll, mask = cross_entropy(logits, y_c, ignore_index, label_smoothing)
+        return nll.sum(), mask.sum()
+
+    def body(carry, xs):
+        total, count = carry
+        s, c = chunk_loss(*xs)
+        return (total + s, count + c), None
+
+    (total, count), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)), (x, y)
+    )
+    return total / jnp.maximum(count, 1)
+
+
+def l2_warp(loss: jax.Array, logits: jax.Array, weight: float = 1e-4) -> jax.Array:
+    """L2Wrap logit penalty via gradient hack (``fla/modules/l2warp.py``):
+    adds a pull-to-zero gradient on the max logit without changing the loss
+    value."""
+    penalty = weight * jnp.mean(jnp.max(logits.astype(jnp.float32), axis=-1) ** 2)
+    return loss + penalty - jax.lax.stop_gradient(penalty)

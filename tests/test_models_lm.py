@@ -138,3 +138,44 @@ class TestConfigAndInit:
         o_std = float(jnp.std(p["attn"]["o_proj"]["kernel"]))
         assert q_std == pytest.approx(0.02, rel=0.2)
         assert o_std == pytest.approx(0.02 / np.sqrt(2 * 2), rel=0.2)
+
+
+class TestFusedLinearCE:
+    def test_matches_naive(self, tiny_model):
+        from mhla_tpu.models.gla_lm import fused_lm_loss
+
+        model, params = tiny_model
+        ids = jax.random.randint(jax.random.PRNGKey(9), (2, 32), 0, 128)
+        logits, _ = model.apply(params, ids)
+        naive = cross_entropy_loss(logits, ids)
+        fused = fused_lm_loss(model, params, ids, chunk_size=16)
+        assert float(jnp.abs(naive - fused)) < 1e-4
+
+    def test_grads_match(self, tiny_model):
+        from mhla_tpu.models.gla_lm import fused_lm_loss
+
+        model, params = tiny_model
+        ids = jax.random.randint(jax.random.PRNGKey(10), (1, 32), 0, 128)
+
+        def naive_loss(p):
+            logits, _ = model.apply(p, ids)
+            return cross_entropy_loss(logits, ids)
+
+        def fused_loss(p):
+            return fused_lm_loss(model, p, ids, chunk_size=16)
+
+        g1 = jax.grad(naive_loss)(params)
+        g2 = jax.grad(fused_loss)(params)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    def test_ignore_index_and_smoothing(self, key):
+        from mhla_tpu.ops.losses import cross_entropy, fused_linear_cross_entropy
+
+        h = jax.random.normal(key, (1, 8, 16))
+        w = jax.random.normal(jax.random.PRNGKey(1), (32, 16))
+        labels = jnp.array([[1, 2, -100, 3, -100, 4, 5, 6]])
+        fused = fused_linear_cross_entropy(h, w, labels, chunk_size=4)
+        logits = h @ w.T
+        nll, mask = cross_entropy(logits, labels)
+        assert float(jnp.abs(fused - nll.sum() / mask.sum())) < 1e-5
