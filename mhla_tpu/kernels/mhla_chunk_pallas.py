@@ -121,9 +121,16 @@ def _core_xla(q5, k5, v5, mixed, m_diag):
     return (o_inter + o_intra).astype(q5.dtype)
 
 
+def _pallas_compatible(c: int, dk: int, dv: int) -> bool:
+    """Mosaic block rule: last two block dims must be (multiple of 8,
+    multiple of 128) — chunk rows x head dim tiles."""
+    return c % 8 == 0 and dk % 128 == 0 and dv % 128 == 0
+
+
 @jax.custom_vjp
 def _phase_c(q5, k5, v5, mixed, m_diag):
-    if jax.default_backend() == "tpu":
+    c, dk, dv = q5.shape[2], q5.shape[4], v5.shape[4]
+    if jax.default_backend() == "tpu" and _pallas_compatible(c, dk, dv):
         return _phase_c_pallas(q5, k5, v5, mixed, m_diag)
     return _core_xla(q5, k5, v5, mixed, m_diag)
 

@@ -34,12 +34,18 @@ def _coerce(value: str) -> Any:
 
 def _from_dict(cls: Type[T], data: Dict[str, Any]) -> T:
     """Recursively build a dataclass from a dict (unknown keys rejected)."""
+    import typing
+
+    try:  # resolve string annotations (PEP 563 "from __future__ import annotations")
+        hints = typing.get_type_hints(cls)
+    except Exception:
+        hints = {}
     fields = {f.name: f for f in dataclasses.fields(cls)}
     kwargs = {}
     for k, v in data.items():
         if k not in fields:
             raise KeyError(f"unknown config key {k!r} for {cls.__name__}")
-        ftype = fields[k].type
+        ftype = hints.get(k, fields[k].type)
         target = ftype if isinstance(ftype, type) else None
         if (
             target is not None
