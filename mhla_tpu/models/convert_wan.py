@@ -1,0 +1,143 @@
+"""Wan2.1 checkpoint conversion: torch state dict -> flax WanModel params.
+
+The reference initializes its hybrid model from the pretrained Wan2.1
+diffusion checkpoint (``load_model_ckpt``, ``wan/model.py:2254``): softmax
+layers load fully, and MHLA layers inherit the q/k/v/o projections and
+q/k norms from the original attention (same parameter names); the
+MHLA-specific parts (gate projection, per-head output norm) start fresh.
+This converter reproduces that behavior for :class:`mhla_tpu.models.wan.WanModel`.
+
+Torch naming (diffusers-style, see reference ``WanModel.__init__``):
+``patch_embedding``, ``text_embedding.{0,2}``, ``time_embedding.{0,2}``,
+``time_projection.1``, ``blocks.{i}.{self_attn,cross_attn}.{q,k,v,o}``,
+``blocks.{i}.norm_q/norm_k`` (inside attn), ``blocks.{i}.norm3``,
+``blocks.{i}.ffn.{0,2}``, ``blocks.{i}.modulation``, ``head.head``,
+``head.modulation``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from .wan import WanConfig
+
+
+def _lin(state, key):
+    out = {"kernel": np.asarray(state[key + ".weight"]).T}
+    if key + ".bias" in state:
+        out["bias"] = np.asarray(state[key + ".bias"])
+    return out
+
+
+def _norm_w(state, key):
+    return {"weight": np.asarray(state[key + ".weight"])}
+
+
+def _layernorm(state, key):
+    out = {}
+    if key + ".weight" in state:
+        out["weight"] = np.asarray(state[key + ".weight"])
+    if key + ".bias" in state:
+        out["bias"] = np.asarray(state[key + ".bias"])
+    return out
+
+
+def convert_wan_checkpoint(
+    state: Dict[str, np.ndarray],
+    cfg: WanConfig,
+    init_params: Optional[Dict] = None,
+) -> Dict:
+    """Convert a Wan2.1 torch state dict. ``init_params`` (a freshly
+    initialized param tree) supplies values for parameters absent from the
+    checkpoint (the MHLA gate/g_norm of hybrid layers); without it, missing
+    parameters raise."""
+    fresh = (init_params or {}).get("params", {})
+
+    params: Dict[str, Any] = {
+        # Conv3d [out, in, kt, kh, kw] -> [kt, kh, kw, in, out]
+        "patch_embedding": {
+            "kernel": np.asarray(state["patch_embedding.weight"]).transpose(
+                2, 3, 4, 1, 0
+            ),
+            "bias": np.asarray(state["patch_embedding.bias"]),
+        },
+        "text_fc1": _lin(state, "text_embedding.0"),
+        "text_fc2": _lin(state, "text_embedding.2"),
+        "time_fc1": _lin(state, "time_embedding.0"),
+        "time_fc2": _lin(state, "time_embedding.2"),
+        "time_projection": _lin(state, "time_projection.1"),
+        "head": _lin(state, "head.head"),
+        "head_modulation": np.asarray(state["head.modulation"]),
+    }
+
+    for i in range(cfg.num_layers):
+        p = f"blocks.{i}."
+        attn_type = cfg.layer_attn_type(i)
+        self_attn: Dict[str, Any] = {
+            "q": _lin(state, p + "self_attn.q"),
+            "k": _lin(state, p + "self_attn.k"),
+            "v": _lin(state, p + "self_attn.v"),
+            "o": _lin(state, p + "self_attn.o"),
+        }
+        if cfg.qk_norm:
+            self_attn["norm_q"] = _norm_w(state, p + "self_attn.norm_q")
+            self_attn["norm_k"] = _norm_w(state, p + "self_attn.norm_k")
+        if attn_type == "mhla_uni":
+            # MHLA-specific params start fresh (gate proj + per-head norm)
+            fresh_attn = fresh.get(f"blocks_{i}", {}).get("self_attn", {})
+            for name in ("g", "g_norm"):
+                if name in fresh_attn:
+                    self_attn[name] = fresh_attn[name]
+                elif name == "g" and cfg.is_gated:
+                    raise KeyError(
+                        f"blocks_{i}.self_attn.{name} missing: pass init_params"
+                    )
+                elif name == "g_norm":
+                    dim_head = cfg.dim // cfg.num_heads
+                    self_attn[name] = {"weight": np.ones(dim_head, np.float32)}
+
+        blk: Dict[str, Any] = {
+            "self_attn": self_attn,
+            "modulation": np.asarray(state[p + "modulation"]),
+            "cross_attn": {
+                "q": _lin(state, p + "cross_attn.q"),
+                "k": _lin(state, p + "cross_attn.k"),
+                "v": _lin(state, p + "cross_attn.v"),
+                "o": _lin(state, p + "cross_attn.o"),
+            },
+            "ffn_fc1": _lin(state, p + "ffn.0"),
+            "ffn_fc2": _lin(state, p + "ffn.2"),
+        }
+        if cfg.qk_norm:
+            blk["cross_attn"]["norm_q"] = _norm_w(state, p + "cross_attn.norm_q")
+            blk["cross_attn"]["norm_k"] = _norm_w(state, p + "cross_attn.norm_k")
+        if cfg.model_type == "i2v":
+            blk["cross_attn"]["k_img"] = _lin(state, p + "cross_attn.k_img")
+            blk["cross_attn"]["v_img"] = _lin(state, p + "cross_attn.v_img")
+            blk["cross_attn"]["norm_k_img"] = _norm_w(
+                state, p + "cross_attn.norm_k_img"
+            )
+        if cfg.cross_attn_norm:
+            blk["norm3"] = _layernorm(state, p + "norm3")
+        params[f"blocks_{i}"] = blk
+
+    if cfg.model_type == "i2v":
+        params["img_norm_in"] = _layernorm(state, "img_emb.proj.0")
+        params["img_fc1"] = _lin(state, "img_emb.proj.1")
+        params["img_fc2"] = _lin(state, "img_emb.proj.3")
+        params["img_norm_out"] = _layernorm(state, "img_emb.proj.4")
+
+    return {"params": params}
+
+
+def load_wan_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Load a .safetensors checkpoint into numpy arrays."""
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out

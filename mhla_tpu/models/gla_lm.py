@@ -173,6 +173,19 @@ class MHLABlock(nn.Module):
                 name="attn",
             )
             h, new_state = attn(h, state, use_cache)
+        elif cfg.attn_extends == "gated_deltanet":
+            from ..layers.gated_deltanet import GatedDeltaNet
+
+            attn = GatedDeltaNet(
+                hidden_size=cfg.hidden_size,
+                head_dim=int(cfg.hidden_size * cfg.expand_k) // cfg.num_heads,
+                num_heads=cfg.num_heads,
+                expand_v=cfg.expand_v / cfg.expand_k,
+                norm_eps=cfg.norm_eps,
+                dtype=cfg.dtype,
+                name="attn",
+            )
+            h, new_state = attn(h, state, use_cache)
         elif cfg.attn_extends == "linear_attn":
             h, new_state = _LinearAttnLayer(cfg, name="attn")(h, state, use_cache)
         else:

@@ -88,3 +88,55 @@ class TestGLALayer:
             ids = jnp.zeros((1, 16), jnp.int32)
             logits, _ = model.init_with_output(key, ids)
             assert logits[0].shape == (1, 16, 64)
+
+
+class TestGatedDeltaNet:
+    def test_op_delta_property(self, key):
+        """With beta=1, g=0, and repeated key k, the state stores the LAST
+        value for that key (delta rule replaces, linear attention sums)."""
+        from mhla_tpu.ops.delta_rule import gated_delta_recurrent, l2norm
+
+        b, t, h, d = 1, 4, 1, 8
+        k_vec = jax.random.normal(key, (1, 1, 1, d))
+        k = jnp.tile(k_vec, (1, t, 1, 1))
+        v = jax.random.normal(jax.random.PRNGKey(1), (b, t, h, d))
+        q = k
+        g = jnp.zeros((b, t, h))
+        beta = jnp.ones((b, t, h))
+        o, s = gated_delta_recurrent(q, k, v, g, beta, output_final_state=True)
+        # final state readout equals the last written value (times beta calc)
+        read = jnp.einsum("bhk,bhkv->bhv", l2norm(k_vec[:, 0]), s)
+        np.testing.assert_allclose(
+            np.asarray(read[0, 0]), np.asarray(v[0, -1, 0]), rtol=1e-4, atol=1e-4
+        )
+
+    def test_decay_shrinks_state(self, key):
+        from mhla_tpu.ops.delta_rule import gated_delta_recurrent
+
+        b, t, h, d = 1, 8, 2, 8
+        q = jax.random.normal(key, (b, t, h, d))
+        v = jax.random.normal(jax.random.PRNGKey(1), (b, t, h, d))
+        beta = jnp.full((b, t, h), 0.5)
+        _, s_nodecay = gated_delta_recurrent(
+            q, q, v, jnp.zeros((b, t, h)), beta, output_final_state=True
+        )
+        _, s_decay = gated_delta_recurrent(
+            q, q, v, jnp.full((b, t, h), -1.0), beta, output_final_state=True
+        )
+        assert float(jnp.abs(s_decay).sum()) < float(jnp.abs(s_nodecay).sum())
+
+    def test_layer_forward_and_decode(self, key):
+        from mhla_tpu.layers.gated_deltanet import GatedDeltaNet
+
+        layer = GatedDeltaNet(hidden_size=32, head_dim=8, num_heads=2)
+        x = jax.random.normal(key, (1, 12, 32))
+        (y, _), params = layer.init_with_output(key, x)
+        assert y.shape == (1, 12, 32)
+
+        y_full, _ = layer.apply(params, x)
+        y_pre, state = layer.apply(params, x[:, :8], use_cache=True)
+        outs = [y_pre]
+        for i in range(8, 12):
+            y_i, state = layer.apply(params, x[:, i : i + 1], state, use_cache=True)
+            outs.append(y_i)
+        assert_close("deltanet decode", y_full, jnp.concatenate(outs, 1), 1e-4)

@@ -210,3 +210,43 @@ class TestCAME:
         state = tx.init(params)
         u, _ = tx.update({"w": jnp.ones((4, 4))}, state, params)
         assert np.isfinite(np.asarray(u["w"])).all()
+
+
+class TestEvalPlumbing:
+    def test_fid_npz(self, tmp_path):
+        from mhla_tpu.eval.fid import build_sample_npz
+
+        def fake_sampler(labels, rng):
+            return jax.random.uniform(rng, (labels.shape[0], 8, 8, 3)) * 2 - 1
+
+        path = build_sample_npz(fake_sampler, 10, 4, 5, str(tmp_path / "s.npz"))
+        arr = np.load(path)["arr_0"]
+        assert arr.shape == (10, 8, 8, 3) and arr.dtype == np.uint8
+
+    def test_simple_lm_eval(self):
+        from mhla_tpu.eval.harness import SimpleLMEval
+        from mhla_tpu.models import MHLAForCausalLM, MHLALMConfig
+
+        cfg = MHLALMConfig(hidden_size=32, num_hidden_layers=1, num_heads=2,
+                           vocab_size=64, max_position_embeddings=32,
+                           chunk_size=8)
+        model = MHLAForCausalLM(cfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16), jnp.int32))
+        ev = SimpleLMEval(model, params, max_len=32)
+        res = ev.loglikelihood([[1, 2, 3], [4, 5]], [[6, 7], [8]])
+        assert len(res) == 2
+        for lp, greedy in res:
+            assert np.isfinite(lp) and lp < 0
+            assert isinstance(greedy, bool)
+
+    def test_deltanet_lm_extends(self):
+        from mhla_tpu.models import MHLAForCausalLM, MHLALMConfig
+
+        cfg = MHLALMConfig(hidden_size=32, num_hidden_layers=1, num_heads=2,
+                           vocab_size=64, max_position_embeddings=32,
+                           chunk_size=8, attn_extends="gated_deltanet")
+        model = MHLAForCausalLM(cfg)
+        logits, _ = model.init_with_output(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16), jnp.int32)
+        )
+        assert logits[0].shape == (1, 16, 64)
