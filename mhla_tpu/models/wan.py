@@ -240,6 +240,9 @@ class WanBlock(nn.Module):
                 dtype=cfg.dtype,
                 name="self_attn",
             )(h, grid)
+        # attention-output capture (reference AttentionHook, model.py:34-45;
+        # drives distillation). Retrieved via mutable=['intermediates'].
+        self.sow("intermediates", "attn_out", h)
         x = (x.astype(jnp.float32) + h.astype(jnp.float32) * e[2][:, None]).astype(
             x.dtype
         )
@@ -267,6 +270,8 @@ class WanBlock(nn.Module):
         x = (x.astype(jnp.float32) + h.astype(jnp.float32) * e[5][:, None]).astype(
             x.dtype
         )
+        # block-output capture (reference BlockHook, model.py:54-124)
+        self.sow("intermediates", "block_out", x)
         return x
 
 

@@ -96,9 +96,21 @@ class WanDataCfg:
 
 
 @dataclasses.dataclass
+class WanDistillCfg:
+    """Teacher distillation (reference ``train_wan.py:676-718``: MSE on the
+    teacher's velocity output plus hooked per-layer attention outputs)."""
+
+    enable: bool = False
+    teacher_ckpt: Optional[str] = None  # orbax checkpoint of teacher params
+    logit_weight: float = 1.0
+    attn_weight: float = 1.0
+
+
+@dataclasses.dataclass
 class WanTrainConfig:
     model: WanModelCfg = dataclasses.field(default_factory=WanModelCfg)
     data: WanDataCfg = dataclasses.field(default_factory=WanDataCfg)
+    distill: WanDistillCfg = dataclasses.field(default_factory=WanDistillCfg)
     optimizer: OptimizerConfig = dataclasses.field(
         default_factory=lambda: OptimizerConfig(
             learning_rate=1e-4, weight_decay=0.01, grad_clip=0.1,  # yaml:84
@@ -133,6 +145,9 @@ def build_model(cfg: WanTrainConfig) -> Tuple[WanModel, WanConfig]:
         text_dim=cfg.data.text_dim,
         dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
     )
+    if cfg.distill.enable:
+        # intermediates capture (sow) is incompatible with remat'ed blocks
+        mc = dataclasses.replace(mc, remat=False)
     return WanModel(mc), mc
 
 
@@ -179,6 +194,12 @@ def main(argv=None) -> dict:
     tx = make_optimizer(cfg.optimizer)
     mesh = make_mesh()
 
+    teacher_params = None
+    if cfg.distill.enable:
+        assert cfg.distill.teacher_ckpt, "distill.enable requires teacher_ckpt"
+        teacher_params = load_checkpoint(cfg.distill.teacher_ckpt, params)
+        logger.info(f"distillation teacher loaded from {cfg.distill.teacher_ckpt}")
+
     def loss_fn(p, batch, step_rng):
         z, ctx = batch
         t_rng, n_rng, d_rng = jax.random.split(step_rng, 3)
@@ -197,7 +218,39 @@ def main(argv=None) -> dict:
             )
 
         out = flow_training_loss(vmodel, z, t01, n_rng)
-        return out["loss"].mean(), {}
+        loss = out["loss"].mean()
+        metrics = {}
+
+        if teacher_params is not None:
+            # re-sample the same x_t the flow loss used
+            from ..diffusion import flow_q_sample
+
+            noise = jax.random.normal(n_rng, z.shape, z.dtype)
+            x_t = flow_q_sample(z, t01, noise).astype(mc.dtype)
+            tt = t01 * 1000.0
+            s_out, s_vars = model.apply(
+                p, x_t, tt, ctx.astype(mc.dtype), mutable=["intermediates"]
+            )
+            t_out, t_vars = model.apply(
+                jax.lax.stop_gradient(teacher_params), x_t, tt,
+                ctx.astype(mc.dtype), mutable=["intermediates"],
+            )
+            d_logit = jnp.mean(
+                (s_out.astype(jnp.float32) - t_out.astype(jnp.float32)) ** 2
+            )
+            s_attn = jax.tree.leaves(s_vars["intermediates"])
+            t_attn = jax.tree.leaves(t_vars["intermediates"])
+            d_attn = sum(
+                jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
+                for a, b in zip(s_attn, t_attn)
+            ) / max(len(s_attn), 1)
+            loss = (
+                loss
+                + cfg.distill.logit_weight * d_logit
+                + cfg.distill.attn_weight * d_attn
+            )
+            metrics.update(distill_logit=d_logit, distill_attn=d_attn)
+        return loss, metrics
 
     with mesh:
         state = init_train_state_sharded(

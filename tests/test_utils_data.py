@@ -250,3 +250,26 @@ class TestEvalPlumbing:
             jax.random.PRNGKey(0), jnp.zeros((1, 16), jnp.int32)
         )
         assert logits[0].shape == (1, 16, 64)
+
+
+class TestProfiling:
+    def test_phase_timer(self):
+        import time
+        from mhla_tpu.utils.profiling import PhaseTimer, SimpleTimer
+
+        t = PhaseTimer()
+        with t.phase("a"):
+            time.sleep(0.01)
+        with t.phase("a"):
+            time.sleep(0.01)
+        s = t.summary()
+        assert 0.005 < s["a"] < 0.5
+        st = SimpleTimer()
+        time.sleep(0.01)
+        assert st.lap() > 0.005
+
+    def test_device_memory_stats(self):
+        from mhla_tpu.utils.profiling import device_memory_stats
+
+        stats = device_memory_stats()  # CPU may report nothing; just no crash
+        assert isinstance(stats, dict)
