@@ -1,0 +1,112 @@
+"""Wan-1.3B forward-pass latency: hybrid MHLA vs full softmax vs full linear.
+
+The TPU analogue of the reference's headline table (README.md: 139 s
+softmax / 84 s hybrid / 62 s full-MHLA per video — per-video latency is
+solver_steps x 2 forwards, so forward latency ratios are the comparison).
+Runs the real 1.3B architecture at the 480p x 81-frame scenario
+(21 x 60 x 100 latents -> 31.5k tokens after the grid crop).
+
+Usage: python benchmarks/wan_bench.py [--modes hybrid,softmax,mhla,linear]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def measure(f, args, n1=2, n2=6):
+    """Chained timing with host-read barriers (see bench.py notes)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = f(*args)
+    float(jnp.sum(x[..., 0].astype(jnp.float32)))  # compile + warm
+
+    def run(n):
+        z, t, ctx = args
+        t0 = time.perf_counter()
+        for i in range(n):
+            out = f(z, t + i, ctx)
+            z = out[..., : z.shape[-1]]  # chain: output feeds input
+        float(jnp.sum(z[..., 0].astype(jnp.float32)))
+        return time.perf_counter() - t0
+
+    return (run(n2) - run(n1)) / (n2 - n1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modes", default="hybrid,softmax,mhla")
+    ap.add_argument("--frames", type=int, default=21)
+    ap.add_argument("--height", type=int, default=60)
+    ap.add_argument("--width", type=int, default=100)
+    ap.add_argument("--bf16_attn", action="store_true",
+                    help="bf16 MHLA attention matmuls (fp32 accumulation)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mhla_tpu.models.wan import WanModel, build_wan_config
+
+    hybrid_idx = tuple(i for i in range(30) if i % 3 != 0)  # 20/30 MHLA
+    mode_cfg = {
+        "hybrid": dict(linear_attn_idx=hybrid_idx, attn_type="mhla_uni"),
+        "mhla": dict(linear_attn_idx=tuple(range(30)), attn_type="mhla_uni"),
+        "linear": dict(linear_attn_idx=tuple(range(30)), attn_type="linear"),
+        "softmax": dict(linear_attn_idx=(), attn_type="flash"),
+    }
+
+    z = jax.random.normal(
+        jax.random.PRNGKey(0),
+        (1, args.frames, args.height, args.width, 16),
+        jnp.bfloat16,
+    )
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 4096), jnp.bfloat16) * 0.02
+
+    results = {}
+    for mode in args.modes.split(","):
+        cfg = build_wan_config(
+            "Wan_T2V_1300M",
+            rope_after=True, normalize_out=False, is_gated=True,
+            grid_adjust=True, remat=False, dtype=jnp.bfloat16,
+            attn_compute_dtype=jnp.bfloat16 if args.bf16_attn else None,
+            **mode_cfg[mode],
+        )
+        model = WanModel(cfg)
+        t0 = time.perf_counter()
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), z, jnp.zeros((1,)), ctx
+        )
+        n_params = sum(p.size for p in jax.tree.leaves(params))
+        fwd = jax.jit(
+            lambda p, zz, tt, cc: model.apply(p, zz, tt, cc)
+        )
+        f = lambda zz, tt, cc: fwd(params, zz, tt, cc)  # noqa: E731
+        dt = measure(f, (z, jnp.full((1,), 500.0), ctx))
+        results[mode] = dt
+        print(
+            f"[wan_bench] {mode}: {dt*1e3:.0f} ms/fwd "
+            f"({n_params/1e6:.0f}M params, init+compile "
+            f"{time.perf_counter()-t0:.0f}s)",
+            flush=True,
+        )
+        del params
+
+    if "softmax" in results:
+        base = results["softmax"]
+        for mode, dt in results.items():
+            if mode != "softmax":
+                print(f"[wan_bench] {mode} speedup vs softmax: {base/dt:.2f}x",
+                      flush=True)
+    print(json.dumps({k: round(v * 1e3, 1) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,11 @@ On TPU the fused kernel is Pallas flash attention (the library kernel
 shipped with JAX, ``jax.experimental.pallas.ops.tpu.flash_attention``); on
 CPU (tests) it falls back to ``jax.nn.dot_product_attention``. Layout is
 [B, T, H, D] at the API; the kernel wants [B, H, T, D].
+
+Sequence lengths that don't divide the kernel block size (e.g. Wan's 31,500
+video tokens) are zero-padded to the next block multiple and masked out via
+segment ids (padded tokens get a different segment, so no probability mass
+leaks to them), then sliced back.
 """
 
 from __future__ import annotations
@@ -32,27 +37,37 @@ def flash_attention(
     """[B, T, H, D] flash attention; fp32 softmax accumulation."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if _on_tpu():
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            BlockSizes,
-            flash_attention as pallas_flash,
-        )
+    if not _on_tpu():
+        return jax.nn.dot_product_attention(q, k, v, scale=scale, is_causal=causal)
 
-        qt = q.transpose(0, 2, 1, 3)
-        kt = k.transpose(0, 2, 1, 3)
-        vt = v.transpose(0, 2, 1, 3)
-        t = q.shape[1]
-        blk = min(512, t)
-        sizes = BlockSizes(
-            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
-            block_q_major_dkv=blk, block_k_major_dkv=blk,
-            block_k_dkv=blk, block_q_dkv=blk,
-            block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
-        )
-        o = pallas_flash(
-            qt, kt, vt, causal=causal, sm_scale=scale, block_sizes=sizes
-        )
-        return o.transpose(0, 2, 1, 3)
-    return jax.nn.dot_product_attention(
-        q, k, v, scale=scale, is_causal=causal
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention as pallas_flash,
     )
+
+    b, t, h, d = q.shape
+    blk = min(512, t)
+    pad = (-t) % blk
+    segment_ids = None
+    if pad:
+        zeros = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))  # noqa: E731
+        q, k, v = zeros(q), zeros(k), zeros(v)
+        seg = (jnp.arange(t + pad) >= t).astype(jnp.int32)[None, :].repeat(b, 0)
+        segment_ids = SegmentIds(q=seg, kv=seg)
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    sizes = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk,
+        block_k_dkv=blk, block_q_dkv=blk,
+        block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+    )
+    o = pallas_flash(
+        qt, kt, vt, segment_ids=segment_ids, causal=causal, sm_scale=scale,
+        block_sizes=sizes,
+    )
+    o = o.transpose(0, 2, 1, 3)
+    return o[:, :t] if pad else o

@@ -30,7 +30,22 @@ def sdpa(
     causal: bool = False,
     window: Optional[int] = None,
 ) -> jax.Array:
-    """Scaled dot-product attention over [B, T, H, D] tensors."""
+    """Scaled dot-product attention over [B, T, H, D] tensors.
+
+    Long self-attention sequences on TPU dispatch to the Pallas flash kernel
+    (XLA's einsum path materializes the [T, T] scores — 2 GB+ at Wan's 31.5k
+    tokens); short or cross-shaped cases stay on the fused XLA path.
+    """
+    if (
+        window is None
+        and q.shape[1] == k.shape[1]
+        and q.shape[1] >= 2048
+        and jax.default_backend() == "tpu"
+        and q.shape[-1] % 128 == 0
+    ):
+        from ..kernels.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, causal=causal)
     local_window = (window - 1, 0) if window else None
     return jax.nn.dot_product_attention(
         q, k, v, is_causal=causal, local_window_size=local_window

@@ -192,6 +192,10 @@ class MHLA3D(nn.Module):
     rope_theta: float = 10000.0
     rope_max_pos: int = 1024
     dtype: jnp.dtype = jnp.float32
+    # attention matmul precision: fp32 reproduces the reference's fp32
+    # island (mhla_utils.py:308); bfloat16 runs on the MXU at ~4x with fp32
+    # accumulation (norms/normalizer stay fp32 either way)
+    attn_compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, grid: Tuple[int, int, int]) -> jax.Array:
@@ -240,7 +244,9 @@ class MHLA3D(nn.Module):
             z, grid, self.blocks_layout
         )
         qb, kb, vb = to_blocks(q_rope), to_blocks(k_rope), to_blocks(v)
-        q_nope, k_nope = to_blocks(q), to_blocks(k)
+        # the no-RoPE normalizer stream only exists when normalizing
+        q_nope = to_blocks(q) if self.normalize_out else None
+        k_nope = to_blocks(k) if self.normalize_out else None
 
         m = BlockMixing(
             blocks_layout=self.blocks_layout,
@@ -251,6 +257,7 @@ class MHLA3D(nn.Module):
             qb, kb, vb, m,
             q_nope=q_nope, k_nope=k_nope,
             normalize=self.normalize_out, eps=self.eps,
+            compute_dtype=self.attn_compute_dtype,
         )
         out = rearrange_from_blocks_3d(
             out.reshape(*out.shape[:3], self.dim), grid, self.blocks_layout

@@ -116,19 +116,23 @@ class MHLABlock(nn.Module):
         use_cache: bool = False,
     ):
         cfg = self.config
-        is_softmax = (
+        # 'transformer' = every layer softmax (the reference's transformer
+        # model family); otherwise layers listed in cfg.attn are softmax
+        # (the hybrid seam) and the rest use attn_extends
+        is_softmax = cfg.attn_extends == "transformer" or (
             cfg.attn is not None and self.layer_idx in cfg.attn.get("layers", ())
         )
 
         h = RMSNorm(eps=cfg.norm_eps, name="attn_norm")(x)
         if is_softmax:
+            attn_cfg = cfg.attn or {}
             attn = SelfAttention(
                 hidden_size=cfg.hidden_size,
-                num_heads=cfg.attn["num_heads"],
-                num_kv_heads=cfg.attn.get("num_kv_heads"),
-                qkv_bias=cfg.attn.get("qkv_bias", False),
-                window_size=cfg.attn.get("window_size"),
-                rope_theta=cfg.attn.get("rope_theta", 10000.0),
+                num_heads=attn_cfg.get("num_heads", cfg.num_heads),
+                num_kv_heads=attn_cfg.get("num_kv_heads"),
+                qkv_bias=attn_cfg.get("qkv_bias", False),
+                window_size=attn_cfg.get("window_size"),
+                rope_theta=attn_cfg.get("rope_theta", 10000.0),
                 max_position_embeddings=cfg.max_position_embeddings,
                 dtype=cfg.dtype,
                 name="attn",

@@ -77,6 +77,9 @@ class WanConfig:
     grid_adjust: bool = True  # generalize mhla_adjust
     remat: bool = True
     dtype: Any = jnp.float32
+    # MHLA attention matmul precision: None = fp32 (reference-faithful);
+    # jnp.bfloat16 trades ~1e-3 relative error for ~4x MXU throughput
+    attn_compute_dtype: Any = None
 
     def layer_attn_type(self, i: int) -> str:
         if self.linear_attn_idx is not None and i in self.linear_attn_idx:
@@ -218,6 +221,7 @@ class WanBlock(nn.Module):
                 normalize_out=cfg.normalize_out,
                 eps=cfg.eps,
                 dtype=cfg.dtype,
+                attn_compute_dtype=cfg.attn_compute_dtype,
                 name="self_attn",
             )(h, grid)
         elif attn_type == "linear":

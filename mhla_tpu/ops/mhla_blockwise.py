@@ -75,7 +75,7 @@ def mhla_blockwise(
     return out.astype(in_dtype)
 
 
-@partial(jax.jit, static_argnames=("normalize", "eps"))
+@partial(jax.jit, static_argnames=("normalize", "eps", "compute_dtype"))
 def mhla_blockwise_mh(
     q: jax.Array,
     k: jax.Array,
@@ -85,27 +85,41 @@ def mhla_blockwise_mh(
     k_nope: Optional[jax.Array] = None,
     normalize: bool = True,
     eps: float = 1e-6,
+    compute_dtype: Optional[jnp.dtype] = None,
 ) -> jax.Array:
     """Multi-head layout blockwise MHLA: q, k [B, N, C, H, Dk], v [B, N, C, H, Dv].
 
     Same math as :func:`mhla_blockwise`, with the head axis kept in the
     token-natural position so no relayout transpose is needed on TPU (the
     head axis rides as an einsum batch dimension).
+
+    ``compute_dtype``: matmul input precision. Default fp32 (the reference's
+    fp32-attention island); ``bfloat16`` runs the matmuls on the MXU at bf16
+    with fp32 accumulation — normalizer division and sums stay fp32.
     """
     in_dtype = q.dtype
     f32 = jnp.float32
-    q, k, v = q.astype(f32), k.astype(f32), v.astype(f32)
-    m = mixing_matrix.astype(f32)
+    cdt = compute_dtype or f32
+    q, k, v = q.astype(cdt), k.astype(cdt), v.astype(cdt)
+    m = mixing_matrix.astype(cdt)
 
-    kv = jnp.einsum("bnchk,bnchv->bnhkv", k, v)
-    kv = jnp.einsum("ij,bjhkv->bihkv", m, kv)
-    out = jnp.einsum("bnchk,bnhkv->bnchv", q, kv)
+    kv = jnp.einsum("bnchk,bnchv->bnhkv", k, v, preferred_element_type=f32)
+    kv = jnp.einsum(
+        "ij,bjhkv->bihkv", m, kv.astype(cdt), preferred_element_type=f32
+    )
+    out = jnp.einsum(
+        "bnchk,bnhkv->bnchv", q, kv.astype(cdt), preferred_element_type=f32
+    )
 
     if normalize:
-        qn = q if q_nope is None else q_nope.astype(f32)
-        kn = k if k_nope is None else k_nope.astype(f32)
-        k_sum = jnp.sum(kn, axis=2)  # [B, N, H, Dk]
-        z = jnp.einsum("bnchk,bnhk->bnch", qn, k_sum)
-        z = jnp.einsum("ij,bjch->bich", m, z) + eps
+        qn = q if q_nope is None else q_nope.astype(cdt)
+        kn = k if k_nope is None else k_nope.astype(cdt)
+        k_sum = jnp.sum(kn.astype(f32), axis=2)  # [B, N, H, Dk] fp32 sum
+        z = jnp.einsum(
+            "bnchk,bnhk->bnch", qn, k_sum.astype(cdt), preferred_element_type=f32
+        )
+        z = jnp.einsum(
+            "ij,bjch->bich", m.astype(f32), z, preferred_element_type=f32
+        ) + eps
         out = out / z[..., None]
     return out.astype(in_dtype)

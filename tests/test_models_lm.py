@@ -179,3 +179,20 @@ class TestFusedLinearCE:
         logits = h @ w.T
         nll, mask = cross_entropy(logits, labels)
         assert float(jnp.abs(fused - nll.sum() / mask.sum())) < 1e-5
+
+
+class TestTransformerFamily:
+    def test_full_softmax_lm(self):
+        cfg = MHLALMConfig(
+            hidden_size=64, num_hidden_layers=2, num_heads=2, vocab_size=64,
+            max_position_embeddings=64, chunk_size=16,
+            attn_extends="transformer",
+        )
+        model = MHLAForCausalLM(cfg)
+        ids = jnp.zeros((1, 32), jnp.int32)
+        logits, params = model.init_with_output(jax.random.PRNGKey(0), ids)
+        assert logits[0].shape == (1, 32, 64)
+        p = params["params"]["model"]
+        for i in range(2):
+            assert "mixing_matrix" not in p[f"layers_{i}"]["attn"]
+            assert "q_proj" in p[f"layers_{i}"]["attn"]

@@ -93,3 +93,25 @@ class TestZipShard:
         with native.ZipShard(p) as shard:
             names = shard.names()
             assert shard.read(0) == shard.read(names[0])
+
+
+class TestPreprocess:
+    def test_write_and_stream(self, tmp_path):
+        from mhla_tpu.data.preprocess import (
+            open_token_shard,
+            shard_row_iterator,
+            write_token_shard,
+        )
+
+        texts = [f"doc {i} " * (i + 1) for i in range(10)]
+        tokenize = lambda s: [ord(c) % 256 for c in s]
+        prefix = str(tmp_path / "shard0")
+        tok_path, off_path = write_token_shard(texts, tokenize, prefix, eos_token_id=0)
+        tokens, offsets = open_token_shard(prefix)
+        assert len(offsets) == 11
+        assert tokens[offsets[1] - 1] == 0  # eos appended
+
+        rows = list(shard_row_iterator(prefix, seq_len=16, batch_rows=3))
+        flat = np.concatenate([r for r in rows])
+        np.testing.assert_array_equal(flat, tokens[: len(flat)])
+        assert len(flat) == (len(tokens) // 16) * 16
