@@ -114,6 +114,7 @@ class MHLACausal(nn.Module):
         hidden_states: jax.Array,  # [B, T, hidden]
         state: Optional[MHLACausalState] = None,
         use_cache: bool = False,
+        attention_mask: Optional[jax.Array] = None,  # [B, T] 1=real 0=pad
     ) -> Tuple[jax.Array, Optional[MHLACausalState]]:
         b, t, _ = hidden_states.shape
         head_k, head_v = self.head_dims()
@@ -150,6 +151,15 @@ class MHLACausal(nn.Module):
 
         fmap = get_feature_map(self.feature_map)
         q, k = fmap(q), fmap(k)
+
+        if attention_mask is not None:
+            # TPU varlen stance (SURVEY.md section 7): static shapes + masking
+            # instead of the reference's cu_seqlens unpadding. Zeroed k/v
+            # contribute nothing to chunk states or intra-chunk attention,
+            # so right-padded batches are exact.
+            mask = attention_mask[..., None, None].astype(k.dtype)
+            k = k * mask
+            v = v * mask
 
         # rotary after the feature map (reference order, ``mhla.py:297-311``)
         max_len = self.num_slots * self.chunk_size

@@ -216,15 +216,19 @@ class MHLA3D(nn.Module):
             v_sp = v.reshape(b, f, hh, ww, self.dim)
             lepe = _depthwise_conv(v_sp, 3, 3, "lepe", self).reshape(b, t, self.dim)
 
-        # fp32 attention island (reference casts q/k/v to float, :308)
-        q = q.astype(jnp.float32)
-        k = k.astype(jnp.float32)
-        v = v.astype(jnp.float32)
+        # attention island: fp32 by default (reference casts q/k/v to float,
+        # :308); with attn_compute_dtype=bf16 the streams stay bf16 between
+        # ops (norms/rope still accumulate fp32 internally), halving the
+        # bandwidth of the rearranges at 31.5k-token scale
+        island_dt = self.attn_compute_dtype or jnp.float32
+        q = q.astype(island_dt)
+        k = k.astype(island_dt)
+        v = v.astype(island_dt)
         if self.qk_norm:
             q = RMSNorm(name="norm_q", eps=self.eps)(q)
             k = RMSNorm(name="norm_k", eps=self.eps)(k)
-        q = jax.nn.relu(q) + self.eps
-        k = jax.nn.relu(k) + self.eps
+        q = jax.nn.relu(q) + jnp.asarray(self.eps, island_dt)
+        k = jax.nn.relu(k) + jnp.asarray(self.eps, island_dt)
 
         q = q.reshape(b, t, h, d)
         k = k.reshape(b, t, h, d)
@@ -240,13 +244,19 @@ class MHLA3D(nn.Module):
             q_rope = apply_rotary_interleaved(q, angles)
             k_rope = apply_rotary_interleaved(k, angles)
 
-        to_blocks = lambda z: rearrange_to_blocks_3d(  # noqa: E731
-            z, grid, self.blocks_layout
+        # one block rearrange over the concatenated streams (one 6D
+        # transpose instead of 3-5; reference does the same 5-way concat,
+        # mhla_utils.py:317-326)
+        streams = [q_rope, k_rope, v]
+        if self.normalize_out:
+            streams += [q, k]  # no-RoPE normalizer stream
+        packed = rearrange_to_blocks_3d(
+            jnp.concatenate(streams, axis=-1), grid, self.blocks_layout
         )
-        qb, kb, vb = to_blocks(q_rope), to_blocks(k_rope), to_blocks(v)
-        # the no-RoPE normalizer stream only exists when normalizing
-        q_nope = to_blocks(q) if self.normalize_out else None
-        k_nope = to_blocks(k) if self.normalize_out else None
+        parts = jnp.split(packed, len(streams), axis=-1)
+        qb, kb, vb = parts[0], parts[1], parts[2]
+        q_nope = parts[3] if self.normalize_out else None
+        k_nope = parts[4] if self.normalize_out else None
 
         m = BlockMixing(
             blocks_layout=self.blocks_layout,

@@ -114,6 +114,7 @@ class MHLABlock(nn.Module):
         x: jax.Array,
         state: Optional[Any] = None,
         use_cache: bool = False,
+        attention_mask: Optional[jax.Array] = None,
     ):
         cfg = self.config
         # 'transformer' = every layer softmax (the reference's transformer
@@ -157,7 +158,7 @@ class MHLABlock(nn.Module):
                 dtype=cfg.dtype,
                 name="attn",
             )
-            h, new_state = attn(h, state, use_cache)
+            h, new_state = attn(h, state, use_cache, attention_mask)
         elif cfg.attn_extends in ("gla", "simple_gla"):
             from ..layers.gla import GatedLinearAttention
 
@@ -190,6 +191,18 @@ class MHLABlock(nn.Module):
                 name="attn",
             )
             h, new_state = attn(h, state, use_cache)
+        elif cfg.attn_extends == "mamba2":
+            from ..layers.mamba2 import Mamba2
+
+            attn = Mamba2(
+                hidden_size=cfg.hidden_size,
+                head_dim=max(int(cfg.hidden_size * cfg.expand_v) // cfg.num_heads, 8),
+                chunk_size=cfg.chunk_size,
+                norm_eps=cfg.norm_eps,
+                dtype=cfg.dtype,
+                name="attn",
+            )
+            h, new_state = attn(h, state, use_cache)
         elif cfg.attn_extends == "linear_attn":
             h, new_state = _LinearAttnLayer(cfg, name="attn")(h, state, use_cache)
         else:
@@ -217,6 +230,7 @@ class MHLAModel(nn.Module):
         input_ids: jax.Array,  # [B, T] int32
         states: Optional[List[Any]] = None,
         use_cache: bool = False,
+        attention_mask: Optional[jax.Array] = None,
     ):
         cfg = self.config
         x = nn.Embed(
@@ -231,7 +245,9 @@ class MHLAModel(nn.Module):
         new_states = []
         for i in range(cfg.num_hidden_layers):
             layer_state = states[i] if states is not None else None
-            x, s = block_cls(cfg, i, name=f"layers_{i}")(x, layer_state, use_cache)
+            x, s = block_cls(cfg, i, name=f"layers_{i}")(
+                x, layer_state, use_cache, attention_mask
+            )
             new_states.append(s)
         x = RMSNorm(eps=cfg.norm_eps, name="norm")(x)
         return x, (new_states if use_cache else None)
@@ -248,10 +264,11 @@ class MHLAForCausalLM(nn.Module):
         states: Optional[List[Any]] = None,
         use_cache: bool = False,
         output_hidden: bool = False,
+        attention_mask: Optional[jax.Array] = None,
     ):
         cfg = self.config
         x, new_states = MHLAModel(cfg, self.remat, name="model")(
-            input_ids, states, use_cache
+            input_ids, states, use_cache, attention_mask
         )
         if output_hidden:
             # caller computes the loss via fused_linear_cross_entropy with

@@ -140,3 +140,31 @@ class TestGatedDeltaNet:
             y_i, state = layer.apply(params, x[:, i : i + 1], state, use_cache=True)
             outs.append(y_i)
         assert_close("deltanet decode", y_full, jnp.concatenate(outs, 1), 1e-4)
+
+
+class TestMamba2:
+    def test_layer_forward_and_decode(self, key):
+        from mhla_tpu.layers.mamba2 import Mamba2
+
+        layer = Mamba2(hidden_size=32, expand=2, head_dim=8, d_state=16,
+                       chunk_size=8)
+        x = jax.random.normal(key, (1, 24, 32))
+        (y, _), params = layer.init_with_output(key, x)
+        assert y.shape == (1, 24, 32)
+
+        y_full, _ = layer.apply(params, x)
+        y_pre, state = layer.apply(params, x[:, :16], use_cache=True)
+        outs = [y_pre]
+        for i in range(16, 24):
+            y_i, state = layer.apply(params, x[:, i : i + 1], state, use_cache=True)
+            outs.append(y_i)
+        assert_close("mamba2 decode", y_full, jnp.concatenate(outs, 1), 1e-4)
+
+    def test_lm_family(self, key):
+        cfg = MHLALMConfig(
+            hidden_size=32, num_hidden_layers=1, num_heads=2, vocab_size=64,
+            max_position_embeddings=32, chunk_size=8, attn_extends="mamba2",
+        )
+        model = MHLAForCausalLM(cfg)
+        logits, _ = model.init_with_output(key, jnp.zeros((1, 16), jnp.int32))
+        assert logits[0].shape == (1, 16, 64)

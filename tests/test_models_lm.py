@@ -196,3 +196,38 @@ class TestTransformerFamily:
         for i in range(2):
             assert "mixing_matrix" not in p[f"layers_{i}"]["attn"]
             assert "q_proj" in p[f"layers_{i}"]["attn"]
+
+
+class TestAttentionMask:
+    def test_right_padding_invariance(self, tiny_model):
+        """Right-padded batches produce the same logits for real positions
+        as the unpadded sequence."""
+        model, params = tiny_model
+        ids = jax.random.randint(jax.random.PRNGKey(11), (1, 20), 0, 128)
+        logits_ref, _ = model.apply(params, ids)
+
+        padded = jnp.pad(ids, ((0, 0), (0, 12)))
+        mask = jnp.concatenate(
+            [jnp.ones((1, 20), jnp.int32), jnp.zeros((1, 12), jnp.int32)], 1
+        )
+        logits_pad, _ = model.apply(params, padded, attention_mask=mask)
+        assert_close("mask invariance", logits_ref, logits_pad[:, :20], 1e-4)
+
+    def test_cached_state_excludes_padding(self, tiny_model):
+        """Prefill with right padding, then decode: the cache must reflect
+        only real tokens' contributions."""
+        model, params = tiny_model
+        ids = jax.random.randint(jax.random.PRNGKey(12), (1, 16), 0, 128)
+        # reference: prefill exactly 16 real tokens
+        _, states_ref = model.apply(params, ids, use_cache=True)
+        # padded prefill of the same 16 tokens
+        padded = jnp.pad(ids, ((0, 0), (0, 16)))
+        mask = jnp.concatenate(
+            [jnp.ones((1, 16), jnp.int32), jnp.zeros((1, 16), jnp.int32)], 1
+        )
+        _, states_pad = model.apply(
+            params, padded, use_cache=True, attention_mask=mask
+        )
+        s_ref = states_ref[0].recurrent.states
+        s_pad = states_pad[0].recurrent.states
+        assert_close("masked cache", s_ref, s_pad, 1e-4)
