@@ -1,0 +1,88 @@
+"""Autoregressive decode throughput for the MHLA LM.
+
+Measures tokens/second of the O(1)-per-token recurrent decode path on the
+340M reference architecture (prefill 2048 + decode), the serving-side
+counterpart to bench.py's prefill-throughput number.
+
+Usage: python benchmarks/decode_bench.py [--batch 1] [--new 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--prefill", type=int, default=2048)
+    ap.add_argument("--new", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mhla_tpu.models import MHLAForCausalLM, MHLALMConfig
+
+    cfg = MHLALMConfig(dtype=jnp.bfloat16)  # 340M reference architecture
+    model = MHLAForCausalLM(cfg)
+    ids = jnp.zeros((args.batch, args.prefill), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
+
+    prefill = jax.jit(lambda p, i: model.apply(p, i, use_cache=True))
+    logits, states = prefill(params, ids)
+    jax.block_until_ready(logits)
+
+    # the serving decode loop is ONE jitted scan: per-token host dispatches
+    # would dominate through the TPU relay (and waste host time anywhere)
+    @partial(jax.jit, static_argnames=("n",), donate_argnums=(2,))
+    def decode_n(p, tok, states, n):
+        def body(carry, _):
+            tok, states = carry
+            logits, states = model.apply(p, tok, states, use_cache=True)
+            tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+            return (tok, states), tok[:, 0]
+
+        (_, states), toks = jax.lax.scan(body, (tok, states), None, length=n)
+        return toks, states
+
+    tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+    toks, states = decode_n(params, tok, states, args.new)  # compile
+    jax.block_until_ready(toks)
+    # best of 3: the first post-compile execution through the TPU relay can
+    # carry a large one-time cost unrelated to steady-state decode
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        toks, states = decode_n(params, tok, states, args.new)
+        float(jnp.sum(toks.astype(jnp.float32)))  # host barrier
+        best = min(best, time.perf_counter() - t0)
+    dt = best / args.new
+
+    tok_s = args.batch / dt
+    print(
+        f"[decode_bench] batch={args.batch} {dt*1e3:.2f} ms/step "
+        f"= {tok_s:,.0f} tok/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "lm_decode_tok_per_s",
+                "value": round(tok_s, 1),
+                "unit": "tok/s",
+                "batch": args.batch,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
