@@ -20,3 +20,6 @@ __all__ = [
     "replicated",
     "shard_params",
 ]
+from .multihost import init_multihost, is_primary  # noqa: E402,F401
+
+__all__ += ["init_multihost", "is_primary"]

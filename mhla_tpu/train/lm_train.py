@@ -76,8 +76,14 @@ def main(argv=None) -> dict:
     logger = get_root_logger(f"{cfg.work_dir}/train.log")
     dump_config(cfg, f"{cfg.work_dir}/config.yaml")
 
+    from ..parallel.multihost import init_multihost
+
+    topo = init_multihost()
     mesh = make_mesh(n_data=cfg.train.n_data)
-    logger.info(f"mesh: {dict(mesh.shape)} over {jax.device_count()} devices")
+    logger.info(
+        f"mesh: {dict(mesh.shape)} over {jax.device_count()} devices, "
+        f"process {topo['process_index']}/{topo['process_count']}"
+    )
 
     model = MHLAForCausalLM(cfg.model)
     rng = jax.random.PRNGKey(cfg.train.seed)
@@ -111,6 +117,8 @@ def main(argv=None) -> dict:
             cfg.train.seq_len,
             cfg.train.batch_size,
             cfg.model.vocab_size,
+            rank=topo["process_index"],
+            world_size=topo["process_count"],
             seed=cfg.train.seed,
         )
         buf = LogBuffer()
