@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import rope_angles_3d
-from ..ops.rotary import apply_rotary_interleaved
+from ..ops.rotary import apply_rotary_3d_halves
 from .norms import RMSNorm
 
 
@@ -104,8 +104,8 @@ class WanLinearAttention(nn.Module):
         if self.rope_after:
             q, k = jax.nn.relu(q), jax.nn.relu(k)
             q, k = sharpen(q), sharpen(k)
-            q_rope = q if self.without_rope else apply_rotary_interleaved(q, angles)
-            k_rope = k if self.without_rope else apply_rotary_interleaved(k, angles)
+            q_rope = q if self.without_rope else apply_rotary_3d_halves(q, angles)
+            k_rope = k if self.without_rope else apply_rotary_3d_halves(k, angles)
             # normalizer uses the *mean* no-rope key (reference :381-386)
             z = 1.0 / (
                 jnp.einsum("bthk,bhk->bth", q, jnp.mean(k, axis=1)) + 1e-6
@@ -113,8 +113,8 @@ class WanLinearAttention(nn.Module):
             kv = jnp.einsum("bthk,bthv->bhkv", k_rope, v) / t
             out = jnp.einsum("bthk,bhkv->bthv", q_rope, kv) * z[..., None]
         else:
-            q = apply_rotary_interleaved(q, angles)
-            k = apply_rotary_interleaved(k, angles)
+            q = apply_rotary_3d_halves(q, angles)
+            k = apply_rotary_3d_halves(k, angles)
             q, k = jax.nn.relu(q), jax.nn.relu(k)
             q, k = sharpen(q), sharpen(k)
             out = linear_attention(q, k, v, self.eps)

@@ -27,7 +27,7 @@ from flax import linen as nn
 
 from ..ops import block_mixing_matrix, rope_angles_3d
 from ..ops.mhla_blockwise import mhla_blockwise_mh
-from ..ops.rotary import apply_rotary_interleaved
+from ..ops.rotary import apply_rotary_3d_halves
 from .norms import LayerNorm, RMSNorm
 
 
@@ -241,8 +241,8 @@ class MHLA3D(nn.Module):
                 rope_angles_3d(grid, d, self.rope_theta, self.rope_max_pos),
                 jnp.float32,
             )
-            q_rope = apply_rotary_interleaved(q, angles)
-            k_rope = apply_rotary_interleaved(k, angles)
+            q_rope = apply_rotary_3d_halves(q, angles)
+            k_rope = apply_rotary_3d_halves(k, angles)
 
         # one block rearrange over the concatenated streams (one 6D
         # transpose instead of 3-5; reference does the same 5-way concat,

@@ -35,7 +35,7 @@ from flax import linen as nn
 from ..layers import MHLA3D, WanLinearAttention, sdpa
 from ..layers.norms import LayerNorm, RMSNorm
 from ..ops import rope_angles_3d
-from ..ops.rotary import apply_rotary_interleaved
+from ..ops.rotary import apply_rotary_3d_halves
 
 
 def sinusoidal_embedding_1d(dim: int, position: jax.Array) -> jax.Array:
@@ -133,8 +133,8 @@ class WanSelfAttention(nn.Module):
         k = k.reshape(b, t, h, d)
         v = v.reshape(b, t, h, d)
         angles = jnp.asarray(rope_angles_3d(grid, d), jnp.float32)
-        q = apply_rotary_interleaved(q, angles)
-        k = apply_rotary_interleaved(k, angles)
+        q = apply_rotary_3d_halves(q, angles)
+        k = apply_rotary_3d_halves(k, angles)
         o = sdpa(q, k, v, causal=False).reshape(b, t, self.dim)
         return dense("o")(o)
 

@@ -101,6 +101,11 @@ def apply_rotary_interleaved(x: jax.Array, angles: jax.Array) -> jax.Array:
     Treats consecutive feature pairs (x[2i], x[2i+1]) as complex numbers and
     multiplies by exp(i * angle) — the jnp equivalent of the reference's
     ``view_as_complex`` path (``mhla_utils.py:127-156``), in fp32.
+
+    NOTE: this layout forces minor-dimension-2 vector ops, which are slow on
+    TPU (the VPU is 8x128). Attention paths should use
+    :func:`apply_rotary_3d_halves` instead — see its docstring for the exact
+    equivalence argument.
     """
     in_dtype = x.dtype
     b, t, h, d = x.shape
@@ -110,3 +115,28 @@ def apply_rotary_interleaved(x: jax.Array, angles: jax.Array) -> jax.Array:
     re = xf[..., 0] * cos - xf[..., 1] * sin
     im = xf[..., 0] * sin + xf[..., 1] * cos
     return jnp.stack([re, im], axis=-1).reshape(b, t, h, d).astype(in_dtype)
+
+
+@partial(jax.jit, static_argnames=())
+def apply_rotary_3d_halves(x: jax.Array, angles: jax.Array) -> jax.Array:
+    """Rotate-half rotary with the 3D angle table: x [B, T, H, D],
+    angles [T, D/2]. Lane-friendly TPU form of
+    :func:`apply_rotary_interleaved`.
+
+    Equivalence: this equals the interleaved form composed with the fixed
+    feature permutation P = [0, 2, 4, ..., 1, 3, 5, ...] (evens then odds).
+    A fixed permutation applied to BOTH q and k cancels in every downstream
+    bilinear: attention scores q.k, chunk/block KV states k^T v read out by
+    q, and the normalizer q.sum(k) are all exactly invariant. Apply it to
+    q and k only (never v) and the model outputs match the interleaved form
+    bit-for-modulo-reassociation. Verified in tests.
+    """
+    in_dtype = x.dtype
+    d2 = angles.shape[-1]
+    xf = x.astype(jnp.float32)
+    cos = jnp.cos(angles).astype(jnp.float32)[None, :, None, :]
+    sin = jnp.sin(angles).astype(jnp.float32)[None, :, None, :]
+    x1, x2 = xf[..., :d2], xf[..., d2:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(in_dtype)

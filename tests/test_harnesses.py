@@ -135,3 +135,46 @@ class TestDPMSolverMath:
             num_steps=10,
         )
         np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-2)
+
+
+class TestConvergence:
+    def test_vit_learns_separable_task(self, key):
+        """A tiny ViT + the trainer stack must fit a trivially separable
+        synthetic task well above chance within 60 steps."""
+        import optax
+        from mhla_tpu.models.vit import MHLAViT, ViTConfig
+        from mhla_tpu.train import OptimizerConfig, init_train_state, make_optimizer, make_train_step
+        from mhla_tpu.train.vit_train import soft_target_xent
+
+        cfg = ViTConfig(img_size=16, patch_size=4, embed_dim=32, depth=2,
+                        num_heads=2, piece_size=2, num_classes=4)
+        model = MHLAViT(cfg)
+        rng = np.random.default_rng(0)
+
+        def batch(i):
+            y = rng.integers(0, 4, 32)
+            x = rng.standard_normal((32, 16, 16, 3), np.float32) * 0.1
+            # class-dependent mean in one channel quadrant -> separable
+            for j, cls in enumerate(y):
+                x[j, (cls // 2) * 8 : (cls // 2) * 8 + 8,
+                  (cls % 2) * 8 : (cls % 2) * 2 + 8, 0] += 2.0
+            return jnp.asarray(x), jnp.asarray(y, jnp.int32)
+
+        params = model.init(key, jnp.zeros((1, 16, 16, 3)))
+        tx = make_optimizer(OptimizerConfig(
+            learning_rate=3e-3, warmup_steps=5, total_steps=60, grad_clip=1.0))
+
+        def loss_fn(p, b, _rng):
+            x, y = b
+            logits = model.apply(p, x, deterministic=False)
+            onehot = jax.nn.one_hot(y, 4)
+            acc = (jnp.argmax(logits, -1) == y).mean()
+            return soft_target_xent(logits, onehot), {"acc": acc}
+
+        state = init_train_state(params, tx)
+        step = make_train_step(loss_fn, tx, donate=False)
+        accs = []
+        for i in range(60):
+            state, m = step(state, batch(i), jax.random.PRNGKey(i))
+            accs.append(float(m["acc"]))
+        assert np.mean(accs[-10:]) > 0.6, f"did not learn: {accs[-10:]}"

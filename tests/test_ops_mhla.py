@@ -247,3 +247,38 @@ class TestRotary:
         assert_close(
             "norm3d", jnp.linalg.norm(x, axis=-1), jnp.linalg.norm(y, axis=-1), 1e-5
         )
+
+
+class TestRotaryHalvesEquivalence:
+    def test_inner_products_match_interleaved(self, key):
+        """The rotate-half 3D rotary equals the interleaved form composed
+        with a fixed feature permutation, so all q.k bilinears match."""
+        from mhla_tpu.ops.rotary import apply_rotary_3d_halves
+
+        d = 32
+        ang = jnp.asarray(rope_angles_3d((2, 3, 4), head_dim=d), jnp.float32)
+        q = jax.random.normal(key, (1, 24, 2, d))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 24, 2, d))
+
+        # interleaved form
+        qi = apply_rotary_interleaved(q, ang)
+        ki = apply_rotary_interleaved(k, ang)
+        # halves form on permuted features (evens then odds)
+        perm = jnp.concatenate([jnp.arange(0, d, 2), jnp.arange(1, d, 2)])
+        qh = apply_rotary_3d_halves(q[..., perm], ang)
+        kh = apply_rotary_3d_halves(k[..., perm], ang)
+
+        # all pairwise token inner products agree
+        si = jnp.einsum("bthd,bshd->bhts", qi, ki)
+        sh = jnp.einsum("bthd,bshd->bhts", qh, kh)
+        assert_close("rotary equivalence", si, sh, 1e-5)
+
+    def test_halves_preserves_norm(self, key):
+        from mhla_tpu.ops.rotary import apply_rotary_3d_halves
+
+        x = jax.random.normal(key, (1, 24, 2, 32))
+        ang = jnp.asarray(rope_angles_3d((2, 3, 4), head_dim=32), jnp.float32)
+        y = apply_rotary_3d_halves(x, ang)
+        assert_close(
+            "norm", jnp.linalg.norm(x, axis=-1), jnp.linalg.norm(y, axis=-1), 1e-5
+        )
