@@ -24,10 +24,34 @@ import numpy as np
 from .wan import WanConfig
 
 
+def rope_feature_permutation(dim: int, num_heads: int) -> np.ndarray:
+    """Per-head evens-then-odds feature permutation.
+
+    This framework applies 3D RoPE in rotate-half form (TPU lane-friendly;
+    ``ops/rotary.py::apply_rotary_3d_halves``) while the reference uses the
+    interleaved complex-pair form. The two are exactly equivalent when the
+    q/k features are reordered so interleaved pair (2i, 2i+1) lands on
+    halves pair (i, i + d/2) — i.e. permute each head's features to evens
+    then odds. Applied to q/k projection outputs (and their norms) when
+    converting reference checkpoints.
+    """
+    d = dim // num_heads
+    per_head = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+    return np.concatenate([h * d + per_head for h in range(num_heads)])
+
+
 def _lin(state, key):
     out = {"kernel": np.asarray(state[key + ".weight"]).T}
     if key + ".bias" in state:
         out["bias"] = np.asarray(state[key + ".bias"])
+    return out
+
+
+def _lin_perm(state, key, perm):
+    """Linear whose OUTPUT features are permuted (rope pair reorder)."""
+    out = {"kernel": np.asarray(state[key + ".weight"]).T[:, perm]}
+    if key + ".bias" in state:
+        out["bias"] = np.asarray(state[key + ".bias"])[perm]
     return out
 
 
@@ -72,18 +96,27 @@ def convert_wan_checkpoint(
         "head_modulation": np.asarray(state["head.modulation"]),
     }
 
+    perm = rope_feature_permutation(cfg.dim, cfg.num_heads)
     for i in range(cfg.num_layers):
         p = f"blocks.{i}."
         attn_type = cfg.layer_attn_type(i)
+        # q/k features reordered for the rotate-half 3D RoPE (see
+        # rope_feature_permutation). For MHLA layers the reference applies
+        # its q/k RMSNorm over the full dim BEFORE the head split, and the
+        # norm weight must follow the same permutation.
         self_attn: Dict[str, Any] = {
-            "q": _lin(state, p + "self_attn.q"),
-            "k": _lin(state, p + "self_attn.k"),
+            "q": _lin_perm(state, p + "self_attn.q", perm),
+            "k": _lin_perm(state, p + "self_attn.k", perm),
             "v": _lin(state, p + "self_attn.v"),
             "o": _lin(state, p + "self_attn.o"),
         }
         if cfg.qk_norm:
-            self_attn["norm_q"] = _norm_w(state, p + "self_attn.norm_q")
-            self_attn["norm_k"] = _norm_w(state, p + "self_attn.norm_k")
+            self_attn["norm_q"] = {
+                "weight": np.asarray(state[p + "self_attn.norm_q.weight"])[perm]
+            }
+            self_attn["norm_k"] = {
+                "weight": np.asarray(state[p + "self_attn.norm_k.weight"])[perm]
+            }
         if attn_type == "mhla_uni":
             # MHLA-specific params start fresh (gate proj + per-head norm)
             fresh_attn = fresh.get(f"blocks_{i}", {}).get("self_attn", {})

@@ -67,10 +67,14 @@ class TestConvertWan:
         assert out.shape == (1, 4, 8, 8, 4)
         assert np.isfinite(np.asarray(out)).all()
 
-        # MHLA layer 0 inherited q from the checkpoint
+        # MHLA layer 0 inherited q from the checkpoint, with the rotate-half
+        # RoPE feature permutation applied to the output features
+        from mhla_tpu.models.convert_wan import rope_feature_permutation
+
+        perm = rope_feature_permutation(CFG.dim, CFG.num_heads)
         np.testing.assert_allclose(
             np.asarray(params["params"]["blocks_0"]["self_attn"]["q"]["kernel"]),
-            state["blocks.0.self_attn.q.weight"].T,
+            state["blocks.0.self_attn.q.weight"].T[:, perm],
         )
         # and kept a fresh gate from init_params
         assert "g" in params["params"]["blocks_0"]["self_attn"]
