@@ -273,3 +273,53 @@ class TestProfiling:
 
         stats = device_memory_stats()  # CPU may report nothing; just no crash
         assert isinstance(stats, dict)
+
+
+class TestLoRA:
+    def _model(self):
+        from mhla_tpu.models import MHLAForCausalLM, MHLALMConfig
+
+        cfg = MHLALMConfig(hidden_size=32, num_hidden_layers=1, num_heads=2,
+                           vocab_size=64, max_position_embeddings=32,
+                           chunk_size=8)
+        model = MHLAForCausalLM(cfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16), jnp.int32))
+        return model, params
+
+    def test_zero_init_is_identity(self):
+        from mhla_tpu.train.lora import init_lora, merge_lora
+
+        model, params = self._model()
+        lora = init_lora(params, jax.random.PRNGKey(1), rank=4)
+        merged = merge_lora(params, lora)
+        ids = jnp.arange(16, dtype=jnp.int32)[None]
+        a, _ = model.apply(params, ids)
+        b, _ = model.apply(merged, ids)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_only_lora_trains(self):
+        import optax
+        from mhla_tpu.train.lora import init_lora, lora_param_count, merge_lora
+
+        model, params = self._model()
+        lora = init_lora(params, jax.random.PRNGKey(1), rank=4)
+        n_lora = lora_param_count(lora)
+        n_full = sum(x.size for x in jax.tree.leaves(params))
+        assert 0 < n_lora < n_full * 0.2
+
+        from mhla_tpu.models import cross_entropy_loss
+
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 64)
+
+        def loss_fn(lora):
+            logits, _ = model.apply(merge_lora(params, lora), ids)
+            return cross_entropy_loss(logits, ids)
+
+        tx = optax.adam(1e-2)
+        state = tx.init(lora)
+        l0 = float(loss_fn(lora))
+        for _ in range(10):
+            g = jax.grad(loss_fn)(lora)
+            upd, state = tx.update(g, state, lora)
+            lora = optax.apply_updates(lora, upd)
+        assert float(loss_fn(lora)) < l0  # lora-only training reduces loss
