@@ -107,10 +107,20 @@ class WanDistillCfg:
 
 
 @dataclasses.dataclass
+class WanLoraCfg:
+    """LoRA finetuning (reference ``train_wan.py:1333-1377`` PEFT wrap)."""
+
+    enable: bool = False
+    rank: int = 16
+    alpha: float = 16.0
+
+
+@dataclasses.dataclass
 class WanTrainConfig:
     model: WanModelCfg = dataclasses.field(default_factory=WanModelCfg)
     data: WanDataCfg = dataclasses.field(default_factory=WanDataCfg)
     distill: WanDistillCfg = dataclasses.field(default_factory=WanDistillCfg)
+    lora: WanLoraCfg = dataclasses.field(default_factory=WanLoraCfg)
     optimizer: OptimizerConfig = dataclasses.field(
         default_factory=lambda: OptimizerConfig(
             learning_rate=1e-4, weight_decay=0.01, grad_clip=0.1,  # yaml:84
@@ -194,6 +204,18 @@ def main(argv=None) -> dict:
     tx = make_optimizer(cfg.optimizer)
     mesh = make_mesh()
 
+    lora_base = None
+    if cfg.lora.enable:
+        # LoRA: freeze the full params, train only the low-rank adapters
+        from .lora import init_lora, merge_lora
+
+        lora_base = params
+        params = init_lora(params, jax.random.fold_in(rng, 999), cfg.lora.rank)
+        n_lora = sum(
+            x.size for x in jax.tree.leaves(params) if hasattr(x, "size")
+        )
+        logger.info(f"LoRA: training {n_lora/1e6:.2f}M adapter params")
+
     teacher_params = None
     if cfg.distill.enable:
         assert cfg.distill.teacher_ckpt, "distill.enable requires teacher_ckpt"
@@ -212,9 +234,16 @@ def main(argv=None) -> dict:
         )
         ctx = jnp.where(drop, 0.0, ctx)
 
+        if lora_base is not None:
+            from .lora import merge_lora
+
+            eff = merge_lora(lora_base, p, cfg.lora.alpha)
+        else:
+            eff = p
+
         def vmodel(x_t, tt):
             return model.apply(
-                p, x_t.astype(mc.dtype), tt * 1000.0, ctx.astype(mc.dtype)
+                eff, x_t.astype(mc.dtype), tt * 1000.0, ctx.astype(mc.dtype)
             )
 
         out = flow_training_loss(vmodel, z, t01, n_rng)

@@ -119,3 +119,23 @@ class TestDistill:
              f"--distill.teacher_ckpt={tp}"] + common
         )
         assert np.isfinite(out2["final_loss"])
+
+
+class TestLoRATrain:
+    def test_wan_lora_smoke(self, tmp_path):
+        from mhla_tpu.train.wan_train import main
+
+        out = main([
+            f"--work_dir={tmp_path}/wan_lora",
+            "--model.dim=48", "--model.ffn_dim=96", "--model.num_heads=4",
+            "--model.num_layers=2", "--model.linear_attn_idx=(0,)",
+            "--model.block_layout=(2,2,2)", "--bf16=false",
+            "--data.latent_frames=4", "--data.latent_height=8",
+            "--data.latent_width=8", "--data.latent_dim=4",
+            "--data.text_len=8", "--data.text_dim=32",
+            "--train.max_steps=2", "--train.log_interval=1",
+            "--train.save_interval=100", "--optimizer.total_steps=2",
+            "--optimizer.warmup_steps=1",
+            "--lora.enable=true", "--lora.rank=4",
+        ])
+        assert np.isfinite(out["final_loss"])
