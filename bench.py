@@ -36,7 +36,7 @@ def main():
     import jax.numpy as jnp
 
     from mhla_tpu.kernels import flash_attention, mhla_chunk_fused
-    from mhla_tpu.ops import init_causal_mixing_matrix
+    from mhla_tpu.ops import init_causal_mixing_matrix, mhla_chunk
 
     b, t, h, d = args.batch, args.seq, args.heads, args.dim
     key = jax.random.PRNGKey(0)
@@ -44,6 +44,16 @@ def main():
     k = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(1), (b, t, h, d), jnp.bfloat16))
     v = jax.random.normal(jax.random.PRNGKey(2), (b, t, h, d), jnp.bfloat16)
     m = init_causal_mixing_matrix(t // args.chunk)
+
+    # on-TPU value check: Pallas path vs the plain-XLA op (relative RMS);
+    # run at a smaller slice to keep the XLA reference graph cheap
+    ts = min(t, 4096)
+    o_pal, _ = mhla_chunk_fused(q[:, :ts], k[:, :ts], v[:, :ts], m)
+    o_ref, _ = mhla_chunk(q[:, :ts], k[:, :ts], v[:, :ts], m)
+    num = jnp.linalg.norm((o_pal - o_ref).astype(jnp.float32))
+    den = jnp.linalg.norm(o_ref.astype(jnp.float32)) + 1e-12
+    max_rel_err = float(num / den)
+    assert max_rel_err < 2e-2, f"Pallas/XLA mismatch: rel_rms={max_rel_err}"
 
     def measure(f, x, extra, n1=5, n2=None):
         n2 = n2 or args.iters
@@ -74,7 +84,7 @@ def main():
     speedup = t_flash / t_mhla
     print(
         f"[bench] seq={t} flash={t_flash*1e3:.2f}ms mhla={t_mhla*1e3:.2f}ms "
-        f"tok/s={b*t/t_mhla:,.0f}",
+        f"tok/s={b*t/t_mhla:,.0f} rel_rms_vs_xla={max_rel_err:.2e}",
         file=sys.stderr,
     )
     print(
@@ -84,6 +94,7 @@ def main():
                 "value": round(speedup, 3),
                 "unit": "x",
                 "vs_baseline": round(speedup / 2.0, 3),
+                "max_rel_err": round(max_rel_err, 6),
             }
         )
     )

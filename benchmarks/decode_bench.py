@@ -31,10 +31,15 @@ def main():
 
     from mhla_tpu.models import MHLAForCausalLM, MHLALMConfig
 
+    from mhla_tpu.models.generation import cast_floating
+
     cfg = MHLALMConfig(dtype=jnp.bfloat16)  # 340M reference architecture
     model = MHLAForCausalLM(cfg)
     ids = jnp.zeros((args.batch, args.prefill), jnp.int32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
+    # serving weights in bf16: batch-1 decode is weight-bandwidth-bound, so
+    # fp32 weights would double the per-token latency
+    params = cast_floating(params, jnp.bfloat16)
 
     prefill = jax.jit(lambda p, i: model.apply(p, i, use_cache=True))
     logits, states = prefill(params, ids)

@@ -2,13 +2,14 @@
 
 Registers the MHLA LM as an lm-eval model so standard benchmark suites run
 against it. lm-eval is optional (not in the baked image) — the adapter is
-import-guarded; without it, :class:`SimpleLMEval` provides loglikelihood
-scoring with the same interface shape for local evaluation.
+import-guarded; without it, :class:`SimpleLMEval` provides loglikelihood /
+rolling-loglikelihood / generation with the same interface shape for local
+evaluation.
 """
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -16,7 +17,7 @@ import numpy as np
 
 
 class SimpleLMEval:
-    """Minimal loglikelihood API over the MHLA LM (no tokenizer assumed:
+    """Minimal lm-eval-shaped API over the MHLA LM (no tokenizer assumed:
     callers pass token ids)."""
 
     def __init__(self, model, params, max_len: int = 2048):
@@ -50,6 +51,61 @@ class SimpleLMEval:
             )
         return out
 
+    def loglikelihood_rolling(self, token_ids: List[List[int]]) -> List[float]:
+        """Full-sequence loglikelihood, windowed at max_len with a
+        max_len//2-token overlap carried as context (the standard rolling
+        scheme lm-eval expects: every token scored exactly once)."""
+        stride = self.max_len // 2
+        out = []
+        for ids in token_ids:
+            total, scored = 0.0, 0
+            pos = 0
+            while scored < len(ids) - 1:
+                window = ids[pos : pos + self.max_len]
+                arr = jnp.asarray(window, jnp.int32)[None]
+                gold, _ = self._nll(arr)
+                # first window scores all its targets; later windows only
+                # the tokens past the overlap
+                new = len(window) - 1 if pos == 0 else len(window) - 1 - (
+                    scored - pos
+                )
+                total += float(gold[0, -new:].sum())
+                scored = pos + len(window) - 1
+                if pos + self.max_len >= len(ids):
+                    break
+                pos += stride
+            out.append(total)
+        return out
+
+    def generate(
+        self,
+        context_ids: List[List[int]],
+        max_new_tokens: int = 64,
+        until_ids: Optional[List[int]] = None,
+        temperature: float = 0.0,
+    ) -> List[List[int]]:
+        """Greedy/sampled continuation per context; stops at any token in
+        ``until_ids`` (kept out of the returned continuation)."""
+        from ..models.generation import generate as gen
+
+        outs = []
+        for ctx in context_ids:
+            ids = jnp.asarray(ctx[-self.max_len :], jnp.int32)[None]
+            full = gen(
+                self.model,
+                self.params,
+                ids,
+                max_new_tokens=max_new_tokens,
+                temperature=temperature,
+            )
+            cont = list(np.asarray(full[0, ids.shape[1] :]))
+            if until_ids:
+                for stop in until_ids:
+                    if stop in cont:
+                        cont = cont[: cont.index(stop)]
+            outs.append([int(t) for t in cont])
+        return outs
+
 
 try:  # pragma: no cover - lm_eval not in the base image
     from lm_eval.api.model import LM  # type: ignore
@@ -73,10 +129,29 @@ try:  # pragma: no cover - lm_eval not in the base image
             return self.inner.loglikelihood(ctxs, conts)
 
         def loglikelihood_rolling(self, requests):
-            raise NotImplementedError
+            toks = [self.tokenizer.encode(req.args[0]) for req in requests]
+            return self.inner.loglikelihood_rolling(toks)
 
         def generate_until(self, requests):
-            raise NotImplementedError
+            outs = []
+            for req in requests:
+                ctx, gen_kwargs = req.args
+                until = gen_kwargs.get("until", [])
+                if isinstance(until, str):
+                    until = [until]
+                max_new = gen_kwargs.get("max_gen_toks", 64)
+                ids = self.tokenizer.encode(ctx)
+                cont = self.inner.generate(
+                    [ids],
+                    max_new_tokens=max_new,
+                    temperature=gen_kwargs.get("temperature", 0.0),
+                )[0]
+                text = self.tokenizer.decode(cont)
+                for stop in until:  # string-level stop sequences
+                    if stop and stop in text:
+                        text = text[: text.index(stop)]
+                outs.append(text)
+            return outs
 
 except ImportError:  # lm_eval unavailable: SimpleLMEval still works
     pass

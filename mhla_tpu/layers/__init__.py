@@ -1,4 +1,15 @@
 from .attention import SelfAttention, sdpa
+from .feature_maps import (
+    LEARNABLE_FEATURE_MAPS,
+    HadamardFeatureMap,
+    HedgehogFeatureMap,
+    LearnableOuterProductFeatureMap,
+    LearnablePolySketchNonNegativeFeatureMap,
+    RebasedFeatureMap,
+    T2RFeatureMap,
+    TaylorFeatureMap,
+    feature_map_output_dim,
+)
 from .linear_attn import LinearAttention2D, WanLinearAttention, linear_attention
 from .mhla_causal import MHLACausal, MHLACausalState
 from .mhla_vision import (
@@ -13,10 +24,19 @@ from .norms import GatedRMSNorm, LayerNorm, RMSNorm, rms_norm
 from .short_conv import ShortConvolution
 
 __all__ = [
+    "LEARNABLE_FEATURE_MAPS",
+    "HadamardFeatureMap",
+    "HedgehogFeatureMap",
+    "LearnableOuterProductFeatureMap",
+    "LearnablePolySketchNonNegativeFeatureMap",
     "MHLA2D",
     "MHLA3D",
     "MLP",
     "BlockMixing",
+    "RebasedFeatureMap",
+    "T2RFeatureMap",
+    "TaylorFeatureMap",
+    "feature_map_output_dim",
     "GatedMLP",
     "GatedRMSNorm",
     "LayerNorm",

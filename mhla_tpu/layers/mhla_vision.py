@@ -185,7 +185,10 @@ class MHLA3D(nn.Module):
     qk_norm: bool = True
     is_gated: bool = True
     is_lepe: bool = False
-    rope_after: bool = True
+    # NOTE: RoPE is always applied AFTER the relu feature map (rope-after
+    # only) — matching the reference ``MHLA_Video_Uni``, whose ``rope_after``
+    # kwarg is likewise never read. The Wan config's ``rope_after`` field
+    # only affects the ``WanLinearAttention`` baseline.
     without_rope: bool = False
     normalize_out: bool = True
     eps: float = 1e-6

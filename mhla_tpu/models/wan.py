@@ -216,7 +216,6 @@ class WanBlock(nn.Module):
                 qk_norm=cfg.qk_norm,
                 is_gated=cfg.is_gated,
                 is_lepe=cfg.is_lepe,
-                rope_after=cfg.rope_after,
                 without_rope=cfg.without_rope,
                 normalize_out=cfg.normalize_out,
                 eps=cfg.eps,

@@ -3,9 +3,10 @@
 Functional equivalents of the reference's feature-map zoo
 (``mhla_nlp/fla/modules/feature_map.py:38-300`` and the inline choices in
 ``fla/layers/mhla.py:113-146``). The MHLA headline config uses ``relu``
-(``configs/mhla_340M.json:8``); the parameterized maps (hedgehog, t2r,
-elementwise_product, dpfp) live as layers in ``mhla_tpu.layers`` since they
-carry weights — here are the stateless ones.
+(``configs/mhla_340M.json:8``). This module holds the stateless maps; the
+parameterized/learnable maps (hedgehog, t2r, hadamard, outer-product,
+polysketch, taylor, rebased) live in
+``mhla_tpu.layers.feature_maps`` since they carry weights.
 """
 
 from __future__ import annotations

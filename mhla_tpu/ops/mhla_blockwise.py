@@ -5,10 +5,19 @@ All vision variants share one functional core (reference instantiations:
 ``MHLA4DiT`` at ``mhla_dit/mhla/mhla.py:251-275``, ``MHLA_Video_Uni`` at
 ``mhla_videogen/.../wan/mhla_utils.py:292-366``):
 
-    kv_j       = k_j^T v_j                      per block j   [Dk, Dv]
-    kv~_i      = sum_j M[i, j] kv_j             block mixing  (1x1 conv -> matmul)
-    z_i        = sum_j M[i, j] (q_i @ k_j.sum)  mixed normalizer
+    kv_j       = k_j^T v_j                        per block j   [Dk, Dv]
+    kv~_i      = sum_j M[i, j] kv_j               block mixing  (1x1 conv -> matmul)
+    z_i        = sum_j M[i, j] (q_j @ k_j.sum)    mixed normalizer
     o_i        = (q_i @ kv~_i) / (z_i + eps)
+
+NOTE the normalizer's index: it is ``q_j @ k_j.sum`` — the mixing matrix is
+applied to the *per-block* scalar field ``q_j @ k_sum_j``, so block i's
+denominator mixes OTHER blocks' query readouts, not q_i against other
+blocks' key sums. This exactly reproduces the reference's
+``block_attn(matmul(q, k.sum(-2)))`` (1x1 conv over the block axis of a
+tensor already indexed by the query's own block). Do NOT "fix" it to
+``q_i @ (sum_j M[i,j] k_j.sum)`` — that changes the numerics vs the
+reference.
 
 with q, k already positive (relu(norm(.)) + eps upstream). The video variant
 uses RoPE'd q/k for the kv path and the *no-RoPE* k for the normalizer, which

@@ -124,23 +124,32 @@ def init_train_state(
 
 
 def make_train_step(
-    loss_fn: Callable[[Any, Any, jax.Array], Tuple[jax.Array, dict]],
+    loss_fn: Callable[..., Tuple[jax.Array, dict]],
     tx: optax.GradientTransformation,
     ema_decay: Optional[float] = None,
     projections: bool = True,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    with_frozen: bool = False,
 ):
     """Build the jitted train step.
 
     ``loss_fn(params, batch, rng) -> (loss, metrics)``. When ``mesh`` is
     given, params/opt-state keep their existing shardings (FSDP placed by
     the caller) and pjit inserts the collectives.
+
+    ``with_frozen=True`` adds a fourth argument to both the step and the
+    loss function: a pytree of non-trained arrays (LoRA base weights,
+    distillation teacher params, ...). Passing them as traced inputs —
+    instead of closing over them — keeps them out of the compiled HLO as
+    constants (they stay sharded/donatable device buffers; see the project
+    invariant "never close jitted functions over large arrays").
     """
 
-    def step(state: TrainState, batch: Any, rng: jax.Array):
+    def step(state: TrainState, batch: Any, rng: jax.Array, frozen: Any = None):
+        args = (state.params, batch, rng) + ((frozen,) if with_frozen else ())
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
+            *args
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -33,6 +33,7 @@ from ..parallel import batch_sharding, make_mesh
 from ..utils.checkpoint import (
     checkpoint_step,
     load_checkpoint,
+    load_params_from_checkpoint,
     resolve_resume_path,
     save_checkpoint,
 )
@@ -204,10 +205,15 @@ def main(argv=None) -> dict:
     tx = make_optimizer(cfg.optimizer)
     mesh = make_mesh()
 
+    # Full-parameter template, captured BEFORE LoRA swaps `params` for the
+    # adapter tree — the distillation teacher checkpoint is restored against
+    # this (full) structure, never the adapter structure.
+    full_template = params
+
     lora_base = None
     if cfg.lora.enable:
         # LoRA: freeze the full params, train only the low-rank adapters
-        from .lora import init_lora, merge_lora
+        from .lora import init_lora
 
         lora_base = params
         params = init_lora(params, jax.random.fold_in(rng, 999), cfg.lora.rank)
@@ -219,10 +225,17 @@ def main(argv=None) -> dict:
     teacher_params = None
     if cfg.distill.enable:
         assert cfg.distill.teacher_ckpt, "distill.enable requires teacher_ckpt"
-        teacher_params = load_checkpoint(cfg.distill.teacher_ckpt, params)
+        teacher_params = load_params_from_checkpoint(
+            cfg.distill.teacher_ckpt, full_template
+        )
         logger.info(f"distillation teacher loaded from {cfg.distill.teacher_ckpt}")
 
-    def loss_fn(p, batch, step_rng):
+    # Frozen (non-trained) arrays ride the train step as traced inputs, not
+    # closure constants (ADVICE r1: closing over them bakes the full frozen
+    # model into the HLO at 1.3B scale).
+    frozen = {"lora_base": lora_base, "teacher": teacher_params}
+
+    def loss_fn(p, batch, step_rng, frozen):
         z, ctx = batch
         t_rng, n_rng, d_rng = jax.random.split(step_rng, 3)
         t01 = logit_normal_timesteps(
@@ -234,10 +247,10 @@ def main(argv=None) -> dict:
         )
         ctx = jnp.where(drop, 0.0, ctx)
 
-        if lora_base is not None:
+        if frozen["lora_base"] is not None:
             from .lora import merge_lora
 
-            eff = merge_lora(lora_base, p, cfg.lora.alpha)
+            eff = merge_lora(frozen["lora_base"], p, cfg.lora.alpha)
         else:
             eff = p
 
@@ -250,18 +263,19 @@ def main(argv=None) -> dict:
         loss = out["loss"].mean()
         metrics = {}
 
-        if teacher_params is not None:
-            # re-sample the same x_t the flow loss used
+        if frozen["teacher"] is not None:
+            # re-sample the same x_t the flow loss used; the student forward
+            # uses the merged/effective params (NOT the raw LoRA adapter tree)
             from ..diffusion import flow_q_sample
 
             noise = jax.random.normal(n_rng, z.shape, z.dtype)
             x_t = flow_q_sample(z, t01, noise).astype(mc.dtype)
             tt = t01 * 1000.0
             s_out, s_vars = model.apply(
-                p, x_t, tt, ctx.astype(mc.dtype), mutable=["intermediates"]
+                eff, x_t, tt, ctx.astype(mc.dtype), mutable=["intermediates"]
             )
             t_out, t_vars = model.apply(
-                jax.lax.stop_gradient(teacher_params), x_t, tt,
+                jax.lax.stop_gradient(frozen["teacher"]), x_t, tt,
                 ctx.astype(mc.dtype), mutable=["intermediates"],
             )
             d_logit = jnp.mean(
@@ -285,7 +299,14 @@ def main(argv=None) -> dict:
         state = init_train_state_sharded(
             params, tx, mesh, ema=cfg.train.ema_decay is not None
         )
-        step_fn = make_train_step(loss_fn, tx, ema_decay=cfg.train.ema_decay)
+        step_fn = make_train_step(
+            loss_fn, tx, ema_decay=cfg.train.ema_decay, with_frozen=True
+        )
+        # FSDP-shard the frozen trees like the trained params (teacher is
+        # model-sized; keeping it replicated would defeat the sharding)
+        from ..parallel import fsdp_shardings
+
+        frozen = jax.device_put(frozen, fsdp_shardings(frozen, mesh))
         start = 0
         if cfg.train.resume_from:
             path = resolve_resume_path(cfg.work_dir, cfg.train.resume_from)
@@ -305,7 +326,9 @@ def main(argv=None) -> dict:
                 jax.device_put(jnp.asarray(z), batch_sharding(mesh, cfg.train.batch_size)),
                 jax.device_put(jnp.asarray(c), batch_sharding(mesh, cfg.train.batch_size)),
             )
-            state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
+            state, metrics = step_fn(
+                state, batch, jax.random.fold_in(rng, i), frozen
+            )
             last = float(metrics["loss"])
             buf.update(loss=last, grad_norm=float(metrics["grad_norm"]))
             if breaker.update(last):

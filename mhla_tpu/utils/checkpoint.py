@@ -70,6 +70,45 @@ def load_checkpoint(path: str, target: Any) -> Any:
     return ckptr.restore(Path(path).absolute() / "state", target=target)
 
 
+def load_params_from_checkpoint(path: str, template: Any) -> Any:
+    """Load *model params* from a checkpoint holding either a raw params
+    pytree or a full TrainState (in which case EMA params are preferred,
+    then raw params) — the reference's teacher/pretrained load accepts the
+    same mix (``load_checkpoint`` backends, ``diffusion/utils/checkpoint.py``).
+
+    ``template`` must be the FULL model parameter tree (never an adapter
+    tree); leaves are validated against it shape-by-shape.
+    """
+    import jax.numpy as jnp
+
+    try:
+        return load_checkpoint(path, template)
+    except Exception:
+        pass  # structure mismatch: probably a TrainState checkpoint
+    raw = ocp.StandardCheckpointer().restore(Path(path).absolute() / "state")
+    if isinstance(raw, dict):
+        for key in ("ema_params", "params"):
+            if isinstance(raw.get(key), dict):
+                raw = raw[key]
+                break
+    leaves_t, treedef = jax.tree.flatten(template)
+    leaves_r = jax.tree.leaves(raw)
+    if len(leaves_r) != len(leaves_t):
+        raise ValueError(
+            f"checkpoint at {path} has {len(leaves_r)} arrays, template has "
+            f"{len(leaves_t)} — not a matching params/TrainState checkpoint"
+        )
+    coerced = []
+    for r, t in zip(leaves_r, leaves_t):
+        r = jnp.asarray(r)
+        if r.shape != t.shape:
+            raise ValueError(
+                f"shape mismatch restoring {path}: {r.shape} vs {t.shape}"
+            )
+        coerced.append(r.astype(t.dtype))
+    return jax.tree.unflatten(treedef, coerced)
+
+
 def checkpoint_step(path: str) -> int:
     name = os.path.basename(path.rstrip("/"))
     return int(name.split("_")[-1]) if name.startswith("step_") else -1

@@ -98,6 +98,7 @@ class TestT5:
 
 
 class TestWanVAE:
+    @pytest.mark.slow
     def test_encode_decode_shapes(self, key):
         vae = WanVAE(TINY_VAE)
         video = jax.random.normal(key, (1, 5, 16, 16, 3))  # 1+4k frames

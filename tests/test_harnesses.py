@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 class TestDiTTrain:
     def test_few_steps_and_sample(self, tmp_path):
@@ -96,6 +98,53 @@ class TestWanTrain:
             "--optimizer.warmup_steps=1",
         ], )
 
+        assert np.isfinite(out["final_loss"])
+
+    def test_lora_plus_distill(self, tmp_path):
+        """LoRA + distillation combined: the teacher checkpoint restores
+        against the FULL param template (not the LoRA adapter tree) and the
+        student distill forward uses the merged params (ADVICE r1 medium)."""
+        from mhla_tpu.train.wan_train import main
+
+        common = [
+            "--model.model=Wan_T2V_1300M",
+            "--model.dim=48",
+            "--model.ffn_dim=96",
+            "--model.num_heads=4",
+            "--model.num_layers=2",
+            "--model.linear_attn_idx=(0,)",
+            "--model.block_layout=(2,2,2)",
+            "--bf16=false",
+            "--data.latent_frames=4",
+            "--data.latent_height=8",
+            "--data.latent_width=8",
+            "--data.latent_dim=4",
+            "--data.text_len=8",
+            "--data.text_dim=32",
+            "--train.max_steps=1",
+            "--train.log_interval=1",
+            "--train.save_interval=1",
+            "--optimizer.total_steps=1",
+            "--optimizer.warmup_steps=1",
+        ]
+        # 1) produce a full-param teacher checkpoint
+        out = main([f"--work_dir={tmp_path}/teacher"] + common)
+        assert np.isfinite(out["final_loss"])
+        import glob
+
+        ckpts = sorted(glob.glob(f"{tmp_path}/teacher/checkpoints/*"))
+        assert ckpts, "teacher run produced no checkpoint"
+        # 2) LoRA student distilling from it
+        out = main(
+            [
+                f"--work_dir={tmp_path}/student",
+                "--lora.enable=true",
+                "--lora.rank=2",
+                "--distill.enable=true",
+                f"--distill.teacher_ckpt={ckpts[-1]}",
+            ]
+            + common
+        )
         assert np.isfinite(out["final_loss"])
 
 

@@ -50,3 +50,47 @@ class TestFusedChunk:
         g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, m)
         for a, b, name in zip(g_ref, g_fused, "qkvm"):
             assert_close(f"grad {name}", a, b, 1e-4)
+
+
+class TestPallasInterpret:
+    """Run the real kernel bodies (fwd + bwd) in Pallas interpret mode on
+    CPU and compare against the jnp op — validates indexing/masking/
+    accumulation that the _core_xla fallback path would otherwise hide.
+    Pallas-compatible shapes required: chunk %% 8 == 0, head dims %% 128."""
+
+    @pytest.fixture(autouse=True)
+    def _force_interpret(self):
+        from mhla_tpu.kernels import mhla_chunk_pallas as mod
+
+        mod.FORCE_INTERPRET = True
+        yield
+        mod.FORCE_INTERPRET = False
+
+    def test_forward_matches_op(self, key):
+        b, t, h, d = 1, 256, 2, 128
+        q = jax.nn.relu(jax.random.normal(key, (b, t, h, d)))
+        k = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(1), (b, t, h, d)))
+        v = jax.random.normal(jax.random.PRNGKey(2), (b, t, h, d))
+        m = init_causal_mixing_matrix(4)
+        o_ref, _ = mhla_chunk(q, k, v, m)
+        o_pal, _ = mhla_chunk_fused(q, k, v, m)
+        assert_close("pallas fwd", o_ref, o_pal, 1e-5)
+
+    def test_backward_matches_op(self, key):
+        b, t, h, d = 1, 128, 2, 128
+        q = jax.nn.relu(jax.random.normal(key, (b, t, h, d)))
+        k = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(1), (b, t, h, d)))
+        v = jax.random.normal(jax.random.PRNGKey(2), (b, t, h, d))
+        m = init_causal_mixing_matrix(2)
+
+        def loss(fn, *args):
+            return jnp.sum(jnp.cos(fn(*args)[0]))
+
+        g_ref = jax.grad(lambda *a: loss(mhla_chunk, *a), argnums=(0, 1, 2, 3))(
+            q, k, v, m
+        )
+        g_pal = jax.grad(
+            lambda *a: loss(mhla_chunk_fused, *a), argnums=(0, 1, 2, 3)
+        )(q, k, v, m)
+        for a, b_, name in zip(g_ref, g_pal, "qkvm"):
+            assert_close(f"pallas grad {name}", a, b_, 1e-4)

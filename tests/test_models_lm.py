@@ -89,6 +89,26 @@ class TestDecode:
         assert out1.shape == (1, 16)
         np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
+    def test_scan_decode_matches_python_loop(self, tiny_model):
+        """The default fused-scan decode must equal the host-loop path
+        (stop_fn=... forces the Python loop)."""
+        model, params = tiny_model
+        ids = jnp.arange(8, dtype=jnp.int32)[None, :]
+        out_scan = generate(model, params, ids, max_new_tokens=8)
+        out_loop = generate(
+            model, params, ids, max_new_tokens=8, stop_fn=lambda toks: False
+        )
+        np.testing.assert_array_equal(np.asarray(out_scan), np.asarray(out_loop))
+
+    def test_scan_decode_eos_padding(self, tiny_model):
+        model, params = tiny_model
+        ids = jnp.arange(8, dtype=jnp.int32)[None, :]
+        out = generate(model, params, ids, max_new_tokens=8, eos_token_id=3)
+        arr = np.asarray(out[0, 8:])
+        hits = np.where(arr == 3)[0]
+        if hits.size:  # everything after the first EOS stays EOS
+            assert (arr[hits[0]:] == 3).all()
+
 
 class TestHybrid:
     def test_softmax_layer_mix(self):

@@ -105,6 +105,7 @@ class TestBlockwiseParity:
         assert_close("torch-golden blockwise", o_ref, np.asarray(o_jax), 2e-4)
 
 
+@pytest.mark.slow
 class TestDiTModuleParity:
     def test_mhla4dit_full_module_golden(self):
         """Full-module parity: reference MHLA4DiT vs MHLA2D with the same
@@ -230,7 +231,7 @@ class TestVideoModuleParity:
 
         layer = MHLA3D(
             dim=dim, num_heads=heads, blocks_layout=layout, transform="linear",
-            qk_norm=True, is_gated=True, is_lepe=False, rope_after=True,
+            qk_norm=True, is_gated=True, is_lepe=False,
             normalize_out=False, eps=1e-6,
         )
         params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x), grid)

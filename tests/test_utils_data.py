@@ -134,6 +134,7 @@ class TestMonitors:
         assert buf.average()["loss"] == 4.0
 
 
+@pytest.mark.slow
 class TestSmokeTrainCLI:
     def test_lm_train_few_steps(self, tmp_path):
         from mhla_tpu.train.lm_train import main
@@ -239,6 +240,43 @@ class TestEvalPlumbing:
             assert np.isfinite(lp) and lp < 0
             assert isinstance(greedy, bool)
 
+    def test_rolling_loglikelihood_matches_single_window(self):
+        from mhla_tpu.eval.harness import SimpleLMEval
+        from mhla_tpu.models import MHLAForCausalLM, MHLALMConfig
+
+        cfg = MHLALMConfig(hidden_size=32, num_hidden_layers=1, num_heads=2,
+                           vocab_size=64, max_position_embeddings=64,
+                           chunk_size=8)
+        model = MHLAForCausalLM(cfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16), jnp.int32))
+        ids = list(range(1, 13))
+        ev = SimpleLMEval(model, params, max_len=32)
+        # one window: rolling == loglikelihood(first token -> rest)
+        (single, _), = ev.loglikelihood([ids[:1]], [ids[1:]])
+        (rolling,) = ev.loglikelihood_rolling([ids])
+        np.testing.assert_allclose(rolling, single, rtol=1e-5)
+        # windowed (max_len < len): still scores every target exactly once
+        ev_small = SimpleLMEval(model, params, max_len=8)
+        (rolling_small,) = ev_small.loglikelihood_rolling([ids])
+        assert np.isfinite(rolling_small) and rolling_small < 0
+
+    def test_generate_until(self):
+        from mhla_tpu.eval.harness import SimpleLMEval
+        from mhla_tpu.models import MHLAForCausalLM, MHLALMConfig
+
+        cfg = MHLALMConfig(hidden_size=32, num_hidden_layers=1, num_heads=2,
+                           vocab_size=64, max_position_embeddings=64,
+                           chunk_size=8)
+        model = MHLAForCausalLM(cfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16), jnp.int32))
+        ev = SimpleLMEval(model, params, max_len=32)
+        outs = ev.generate([[1, 2, 3]], max_new_tokens=6)
+        assert len(outs) == 1 and len(outs[0]) == 6
+        assert all(isinstance(t, int) for t in outs[0])
+        stop = outs[0][2]
+        trimmed = ev.generate([[1, 2, 3]], max_new_tokens=6, until_ids=[stop])[0]
+        assert stop not in trimmed and len(trimmed) <= 6
+
     def test_deltanet_lm_extends(self):
         from mhla_tpu.models import MHLAForCausalLM, MHLALMConfig
 
@@ -275,6 +313,7 @@ class TestProfiling:
         assert isinstance(stats, dict)
 
 
+@pytest.mark.slow
 class TestLoRA:
     def _model(self):
         from mhla_tpu.models import MHLAForCausalLM, MHLALMConfig

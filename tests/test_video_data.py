@@ -75,6 +75,7 @@ class TestLatentCache:
         assert blob["latent"].shape == (4, 8, 8, 4)
 
 
+@pytest.mark.slow
 class TestDistill:
     def test_wan_train_distill_smoke(self, tmp_path):
         """Train 1 step, checkpoint, then 1 distillation step against it."""
@@ -121,6 +122,7 @@ class TestDistill:
         assert np.isfinite(out2["final_loss"])
 
 
+@pytest.mark.slow
 class TestLoRATrain:
     def test_wan_lora_smoke(self, tmp_path):
         from mhla_tpu.train.wan_train import main

@@ -96,6 +96,7 @@ class TestWan:
         np.testing.assert_allclose(np.asarray(e)[0, :4], 1.0, atol=1e-6)
         np.testing.assert_allclose(np.asarray(e)[0, 4:], 0.0, atol=1e-6)
 
+    @pytest.mark.slow
     def test_flow_training_step(self, key):
         """One flow-matching loss/grad evaluation through the Wan model."""
         from mhla_tpu.diffusion import flow_training_loss, logit_normal_timesteps
