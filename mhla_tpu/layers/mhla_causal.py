@@ -189,11 +189,12 @@ class MHLACausal(nn.Module):
             )
             rec = None
             if use_cache:
-                pad = self.num_slots - states.shape[2]
-                states = jnp.pad(
-                    states, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))
+                from ..ops.mhla_recurrent import state_from_chunk
+
+                rec = state_from_chunk(
+                    states, t, mixing,
+                    chunk_size=self.chunk_size, num_slots=self.num_slots,
                 )
-                rec = MHLAState(states=states, t=jnp.asarray(t, jnp.int32))
 
         new_state = None
         if use_cache:

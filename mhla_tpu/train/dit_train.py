@@ -74,20 +74,14 @@ def latent_batches(
     """Yield (latents NHWC, labels). Reads extract_features-style .npy pairs
     (``mhla_dit/train.py:102-121``) or synthesizes latents."""
     if cfg.feature_dir and Path(cfg.feature_dir).exists():
-        feats = sorted(Path(cfg.feature_dir, "features").glob("*.npy"))
-        labels = sorted(Path(cfg.feature_dir, "labels").glob("*.npy"))
-        assert feats, f"no .npy features under {cfg.feature_dir}"
-        while True:
-            idx = rng.permutation(len(feats))
-            for start in range(0, len(idx) - cfg.train.batch_size + 1, cfg.train.batch_size):
-                sel = idx[start : start + cfg.train.batch_size]
-                x = np.stack([np.load(feats[i]) for i in sel])
-                y = np.stack([np.load(labels[i]).item() for i in sel])
-                if x.ndim == 5:  # saved with flip pairs
-                    x = x[:, rng.integers(0, x.shape[1])]
-                if x.shape[1] == 4:  # NCHW -> NHWC
-                    x = x.transpose(0, 2, 3, 1)
-                yield x.astype(np.float32), y.astype(np.int32)
+        # extract_features.py layout (imagenet256_features/labels .npy pairs
+        # with flip variants, reference mhla_dit/train.py:102-121) or flat
+        # .npz latent shards
+        from ..data.image_data import LatentDataset
+
+        yield from LatentDataset(cfg.feature_dir, seed=cfg.train.seed).infinite(
+            cfg.train.batch_size
+        )
     else:
         while True:
             x = rng.standard_normal(

@@ -117,26 +117,16 @@ def soft_target_xent(logits: jax.Array, soft_targets: jax.Array) -> jax.Array:
 
 def image_batches(cfg: ViTTrainConfig, rng: np.random.Generator):
     if cfg.data_dir and Path(cfg.data_dir).exists():
-        from PIL import Image
+        # timm train recipe: random-resized-crop + hflip + RandAugment +
+        # random erasing (reference mhla_image_classification/timm_train.py)
+        from ..data.image_data import ImageAugConfig, ImageFolderDataset
 
-        classes = sorted(p for p in Path(cfg.data_dir).iterdir() if p.is_dir())
-        files = [
-            (f, i)
-            for i, c in enumerate(classes)
-            for f in c.glob("*")
-            if f.suffix.lower() in (".jpg", ".jpeg", ".png")
-        ]
-        assert files, f"no images under {cfg.data_dir}"
-        while True:
-            idx = rng.permutation(len(files))
-            for s in range(0, len(idx) - cfg.train.batch_size + 1, cfg.train.batch_size):
-                xs, ys = [], []
-                for i in idx[s : s + cfg.train.batch_size]:
-                    f, y = files[i]
-                    img = Image.open(f).convert("RGB").resize((cfg.img_size, cfg.img_size))
-                    xs.append(np.asarray(img, np.float32) / 127.5 - 1.0)
-                    ys.append(y)
-                yield np.stack(xs), np.asarray(ys, np.int32)
+        ds = ImageFolderDataset(
+            cfg.data_dir,
+            ImageAugConfig(img_size=cfg.img_size, train=True),
+            seed=cfg.train.seed,
+        )
+        yield from ds.infinite(cfg.train.batch_size)
     else:
         while True:
             x = rng.standard_normal(

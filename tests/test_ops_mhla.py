@@ -92,10 +92,7 @@ class TestRecurrent:
 
         qp, kp, vp = q[:, :t_prefill], k[:, :t_prefill], v[:, :t_prefill]
         o_pre, s = mhla_chunk(qp, kp, vp, m, output_final_state=True)
-        # pad chunk-state stack out to the slot count of the mixing matrix
-        n_slots = m.shape[0]
-        s = jnp.pad(s, ((0, 0), (0, 0), (0, n_slots - s.shape[2]), (0, 0), (0, 0)))
-        state = state_from_chunk(s, t_prefill)
+        state = state_from_chunk(s, t_prefill, m)
 
         outs = [o_pre]
         for i in range(t_decode):
