@@ -30,6 +30,7 @@ def sample_video_latents(
     solver: str = "dpm-solver",  # dpm-solver | flow_euler
     flow_shift: float = 3.0,
     rng: Optional[jax.Array] = None,
+    clip_fea: Optional[jax.Array] = None,  # [B, 257, image_dim] (i2v)
 ) -> jax.Array:
     """Returns sampled latents [B, F, H, W, C]."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -37,10 +38,20 @@ def sample_video_latents(
     cfg = model.cfg
     if null_emb is None:
         null_emb = jnp.zeros_like(text_emb)
+    if cfg.model_type == "i2v" and clip_fea is None:
+        raise ValueError("i2v sampling requires clip_fea (models.clip."
+                         "encode_i2v_features on the conditioning frame)")
 
     def velocity(x_t, t, ctx):
+        kwargs = {}
+        if clip_fea is not None:
+            fea = clip_fea.astype(cfg.dtype)
+            if fea.shape[0] != x_t.shape[0]:  # CFG doubles the batch
+                fea = jnp.tile(fea, (x_t.shape[0] // fea.shape[0], 1, 1))
+            kwargs["clip_fea"] = fea
         return model.apply(
-            variables, x_t.astype(cfg.dtype), t * 1000.0, ctx.astype(cfg.dtype)
+            variables, x_t.astype(cfg.dtype), t * 1000.0, ctx.astype(cfg.dtype),
+            **kwargs,
         ).astype(jnp.float32)
 
     guided_v = with_cfg(velocity, text_emb, null_emb, cfg_scale)

@@ -29,15 +29,18 @@ def sdpa(
     v: jax.Array,
     causal: bool = False,
     window: Optional[int] = None,
+    mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Scaled dot-product attention over [B, T, H, D] tensors.
 
     Long self-attention sequences on TPU dispatch to the Pallas flash kernel
     (XLA's einsum path materializes the [T, T] scores — 2 GB+ at Wan's 31.5k
     tokens); short or cross-shaped cases stay on the fused XLA path.
+    ``mask`` is a broadcastable boolean [B, H, Tq, Tk] keep-mask.
     """
     if (
         window is None
+        and mask is None
         and q.shape[1] == k.shape[1]
         and q.shape[1] >= 2048
         and jax.default_backend() == "tpu"
@@ -48,7 +51,7 @@ def sdpa(
         return flash_attention(q, k, v, causal=causal)
     local_window = (window - 1, 0) if window else None
     return jax.nn.dot_product_attention(
-        q, k, v, is_causal=causal, local_window_size=local_window
+        q, k, v, mask=mask, is_causal=causal, local_window_size=local_window
     )
 
 

@@ -1,3 +1,10 @@
+from .clip import (
+    CLIPVisionTransformer,
+    XLMRobertaCLIP,
+    XLMRobertaEncoder,
+    convert_clip_checkpoint,
+    encode_i2v_features,
+)
 from .generation import generate
 from .gla_lm import (
     MHLABlock,
@@ -9,6 +16,11 @@ from .gla_lm import (
 )
 
 __all__ = [
+    "CLIPVisionTransformer",
+    "XLMRobertaCLIP",
+    "XLMRobertaEncoder",
+    "convert_clip_checkpoint",
+    "encode_i2v_features",
     "MHLABlock",
     "MHLAForCausalLM",
     "MHLALMConfig",

@@ -58,6 +58,7 @@ class WanConfig:
     ffn_dim: int = 8960
     freq_dim: int = 256
     image_dim: int = 1280
+    img_tokens: int = 257  # CLIP ViT-H/14 patch tokens + cls (i2v)
     text_dim: int = 4096
     out_dim: int = 16
     num_heads: int = 12
@@ -261,6 +262,7 @@ class WanBlock(nn.Module):
             qk_norm=cfg.qk_norm,
             eps=cfg.eps,
             i2v=cfg.model_type == "i2v",
+            img_tokens=cfg.img_tokens,
             dtype=cfg.dtype,
             name="cross_attn",
         )(h, context)

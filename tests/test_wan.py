@@ -82,6 +82,41 @@ class TestWan:
         assert out.shape == (1, 4, 8, 8, 4)
         assert "k_img" in params["params"]["blocks_0"]["cross_attn"]
 
+    def test_i2v_sampling_with_clip_features(self, key):
+        """CLIP tower -> sample_video_latents wiring (CFG doubles the batch;
+        clip features must tile along)."""
+        from mhla_tpu.eval.video_inference import sample_video_latents
+        from mhla_tpu.models.clip import (
+            CLIPVisionConfig,
+            CLIPVisionTransformer,
+            encode_i2v_features,
+        )
+
+        vis_cfg = CLIPVisionConfig(
+            image_size=14, patch_size=7, dim=24, mlp_ratio=2.0,
+            num_heads=4, num_layers=2,
+        )
+        vit = CLIPVisionTransformer(vis_cfg)
+        frame = jax.random.uniform(key, (1, 20, 20, 3), minval=-1, maxval=1)
+        vit_params = vit.init(key, jnp.zeros((1, 14, 14, 3)))
+        fea = encode_i2v_features(vit, vit_params, frame)  # [1, 5, 24]
+
+        cfg = WanConfig(
+            model_type="i2v", dim=48, ffn_dim=96, num_heads=4, num_layers=1,
+            text_len=8, text_dim=32, image_dim=24, img_tokens=5,
+            in_dim=4, out_dim=4,
+            block_layout=(2, 2, 2), linear_attn_idx=(), remat=False,
+        )
+        model = WanModel(cfg)
+        x, t, ctx = tiny_inputs(key, cfg)
+        params = model.init(key, x, t, ctx, jnp.zeros((1, 5, 24)))
+        lat = sample_video_latents(
+            model, params, ctx, latent_shape=(4, 8, 8, 4), num_steps=2,
+            solver="flow_euler", clip_fea=fea,
+        )
+        assert lat.shape == (1, 4, 8, 8, 4)
+        assert np.isfinite(np.asarray(lat)).all()
+
     def test_build_config(self):
         cfg = build_wan_config("Wan_T2V_1300M", linear_attn_idx=tuple(range(20)))
         assert cfg.dim == 1536 and cfg.num_layers == 30 and cfg.num_heads == 12
