@@ -1,3 +1,5 @@
+from .sa_solver import sa_solver_sample
+from .unipc import unipc_sample
 from .gaussian_diffusion import (
     GaussianDiffusion,
     create_diffusion,
@@ -17,5 +19,7 @@ __all__ = [
     "flow_training_loss",
     "logit_normal_timesteps",
     "make_beta_schedule",
+    "sa_solver_sample",
     "space_timesteps",
+    "unipc_sample",
 ]

@@ -14,7 +14,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..diffusion import flow_euler_sample_loop
+from ..diffusion import flow_euler_sample_loop, sa_solver_sample, unipc_sample
 from ..diffusion.dpm_solver import dpm_solver_pp, flow_velocity_to_x0, with_cfg
 from ..models.wan import WanConfig, WanModel
 
@@ -66,5 +66,15 @@ def sample_video_latents(
     if solver == "flow_euler":
         return flow_euler_sample_loop(
             guided_v, shape, rng, num_steps=num_steps, shift=flow_shift
+        )
+    if solver == "unipc":
+        return unipc_sample(
+            flow_velocity_to_x0(guided_v), x,
+            num_steps=num_steps, order=2, shift=flow_shift,
+        )
+    if solver == "sa-solver":
+        return sa_solver_sample(
+            flow_velocity_to_x0(guided_v), x,
+            num_steps=num_steps, shift=flow_shift, rng=rng,
         )
     raise ValueError(f"unknown solver {solver}")

@@ -82,7 +82,8 @@ class TestWan:
         assert out.shape == (1, 4, 8, 8, 4)
         assert "k_img" in params["params"]["blocks_0"]["cross_attn"]
 
-    def test_i2v_sampling_with_clip_features(self, key):
+    @pytest.mark.parametrize("solver", ["flow_euler", "unipc", "sa-solver"])
+    def test_i2v_sampling_with_clip_features(self, key, solver):
         """CLIP tower -> sample_video_latents wiring (CFG doubles the batch;
         clip features must tile along)."""
         from mhla_tpu.eval.video_inference import sample_video_latents
@@ -112,7 +113,7 @@ class TestWan:
         params = model.init(key, x, t, ctx, jnp.zeros((1, 5, 24)))
         lat = sample_video_latents(
             model, params, ctx, latent_shape=(4, 8, 8, 4), num_steps=2,
-            solver="flow_euler", clip_fea=fea,
+            solver=solver, clip_fea=fea,
         )
         assert lat.shape == (1, 4, 8, 8, 4)
         assert np.isfinite(np.asarray(lat)).all()
