@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.delta_rule import gated_delta_recurrent
+from ..ops.delta_rule import gated_delta_chunk, gated_delta_recurrent
 from .norms import GatedRMSNorm, RMSNorm
 from .short_conv import ShortConvolution
 
@@ -103,11 +103,17 @@ class GatedDeltaNet(nn.Module):
         k = k.reshape(b, t, h, dk)
         v = v.reshape(b, t, h, dv)
 
-        o, s = gated_delta_recurrent(
-            q, k, v, g, beta,
-            initial_state=state.state if state is not None else None,
-            output_final_state=use_cache,
-        )
+        init_s = state.state if state is not None else None
+        if t <= 64:  # decode/short-prefill: exact token recurrence
+            o, s = gated_delta_recurrent(
+                q, k, v, g, beta,
+                initial_state=init_s, output_final_state=use_cache,
+            )
+        else:  # training path: chunked WY form (identical semantics)
+            o, s = gated_delta_chunk(
+                q, k, v, g, beta,
+                initial_state=init_s, output_final_state=use_cache,
+            )
         new_state = (
             DeltaNetState(state=s, conv_q=conv_q, conv_k=conv_k, conv_v=conv_v)
             if use_cache

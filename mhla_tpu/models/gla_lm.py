@@ -203,6 +203,16 @@ class MHLABlock(nn.Module):
                 name="attn",
             )
             h, new_state = attn(h, state, use_cache)
+        elif cfg.attn_extends == "mamba":
+            from ..layers.mamba import Mamba
+
+            attn = Mamba(
+                hidden_size=cfg.hidden_size,
+                chunk_size=cfg.chunk_size,
+                dtype=cfg.dtype,
+                name="attn",
+            )
+            h, new_state = attn(h, state, use_cache)
         elif cfg.attn_extends == "linear_attn":
             h, new_state = _LinearAttnLayer(cfg, name="attn")(h, state, use_cache)
         else:

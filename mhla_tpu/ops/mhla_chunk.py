@@ -42,7 +42,8 @@ def _pad_to_chunks(x: jax.Array, chunk_size: int) -> jax.Array:
     t = x.shape[1]
     pad = (-t) % chunk_size
     if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        widths = ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2)
+        x = jnp.pad(x, widths)
     return x
 
 
