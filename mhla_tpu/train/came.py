@@ -43,7 +43,20 @@ def came(
     eps2: float = 1e-16,
     clip_threshold: float = 1.0,
     weight_decay: float = 0.0,
+    quantize_m: bool = False,
 ) -> optax.GradientTransformation:
+    """``quantize_m=True`` stores the full-size first moment in blockwise
+    int8 (the reference's bitsandbytes CAME8bit; the factored v/r states are
+    already tiny and stay fp32)."""
+    if quantize_m:
+        from .optim8bit import Quant8, _dq, _q
+
+    def _store_m(x):
+        return _q(x, True) if quantize_m else x
+
+    def _load_m(m, shape):
+        return _dq(m, shape) if quantize_m else m
+
     def init_fn(params):
         def zeros_like_factored(p, row: bool):
             if _factored(p):
@@ -53,7 +66,9 @@ def came(
 
         return CAMEState(
             count=jnp.zeros((), jnp.int32),
-            m=jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params),
+            m=jax.tree.map(
+                lambda p: _store_m(jnp.zeros(p.shape, jnp.float32)), params
+            ),
             v_row=jax.tree.map(lambda p: zeros_like_factored(p, True), params),
             v_col=jax.tree.map(lambda p: zeros_like_factored(p, False), params),
             r_row=jax.tree.map(lambda p: zeros_like_factored(p, True), params),
@@ -68,8 +83,9 @@ def came(
     def update_fn(grads, state, params=None):
         count = state.count + 1
 
-        def per_param(g, m, vr, vc, rr, rc, p):
+        def per_param(m, g, vr, vc, rr, rc, p):
             g = g.astype(jnp.float32)
+            m = _load_m(m, g.shape)
             if _factored(g):
                 g2 = g * g + eps1
                 vr = beta2 * vr + (1 - beta2) * jnp.mean(g2, axis=-1)
@@ -91,12 +107,15 @@ def came(
             else:
                 rr = beta3 * rr + (1 - beta3) * ((u - m_new) ** 2 + eps2)
                 upd = m_new * jax.lax.rsqrt(rr)
-            return upd.astype(g.dtype), m_new, vr, vc, rr, rc
+            return upd.astype(g.dtype), _store_m(m_new), vr, vc, rr, rc
 
+        # state.m leads the map so its Quant8 leaves terminate traversal
         flat = jax.tree.map(
-            per_param, grads, state.m, state.v_row, state.v_col,
+            per_param, state.m, grads, state.v_row, state.v_col,
             state.r_row, state.r_col,
             params if params is not None else grads,
+            is_leaf=lambda x: quantize_m
+            and type(x).__name__ == "Quant8",
         )
         updates = jax.tree.map(lambda t: t[0], flat, is_leaf=lambda x: isinstance(x, tuple))
         m = jax.tree.map(lambda t: t[1], flat, is_leaf=lambda x: isinstance(x, tuple))

@@ -75,6 +75,17 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
         from .came import came
 
         opt = came(schedule, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "came8bit":
+        from .came import came
+
+        opt = came(schedule, weight_decay=cfg.weight_decay, quantize_m=True)
+    elif cfg.optimizer == "adamw8bit":
+        from .optim8bit import adamw_8bit
+
+        opt = adamw_8bit(
+            schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+        )
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer}")
     chain = []

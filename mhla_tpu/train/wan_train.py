@@ -131,6 +131,9 @@ class WanTrainConfig:
     train: WanTrainLoop = dataclasses.field(default_factory=WanTrainLoop)
     work_dir: str = "work_dirs/wan"
     bf16: bool = True
+    # linear LR scaling by effective batch (reference auto_scale_lr,
+    # ``diffusion/utils/optimizer.py``); None disables
+    auto_scale_lr_base_batch: Optional[int] = None
 
 
 def build_model(cfg: WanTrainConfig) -> Tuple[WanModel, WanConfig]:
@@ -187,6 +190,16 @@ def video_batches(cfg: WanTrainConfig, rng: np.random.Generator):
 
 def main(argv=None) -> dict:
     cfg = parse_cli(WanTrainConfig, argv if argv is not None else sys.argv[1:])
+    if cfg.auto_scale_lr_base_batch:
+        from .optim8bit import auto_scale_lr
+
+        eff = cfg.train.batch_size * max(cfg.optimizer.accum_steps, 1)
+        cfg.optimizer = dataclasses.replace(
+            cfg.optimizer,
+            learning_rate=auto_scale_lr(
+                cfg.optimizer.learning_rate, eff, cfg.auto_scale_lr_base_batch
+            ),
+        )
     logger = get_root_logger(f"{cfg.work_dir}/train.log")
     dump_config(cfg, f"{cfg.work_dir}/config.yaml")
 
