@@ -70,16 +70,33 @@ def main():
 
         return (run(n2) - run(n1)) / (n2 - n1)
 
-    # chained: output re-enters as q (relu keeps it a valid positive feature)
+    # chained: output re-enters as q (relu keeps it a valid positive
+    # feature). Both ops are fed the projection-natural head-flat
+    # [B, T, H*D] layout a model layer would hand them — flash reshapes to
+    # its per-head layout internally, MHLA's flat path needs no relayout.
+    from mhla_tpu.kernels import mhla_chunk_fused_flat
+
+    qf = q.reshape(b, t, h * d)
+    kf = k.reshape(b, t, h * d)
+    vf = v.reshape(b, t, h * d)
     f_flash = jax.jit(
-        lambda x, k, v: jax.nn.relu(flash_attention(x, k, v, causal=True))
+        lambda x, kk, vv: jax.nn.relu(
+            flash_attention(
+                x.reshape(b, t, h, d),
+                kk.reshape(b, t, h, d),
+                vv.reshape(b, t, h, d),
+                causal=True,
+            ).reshape(b, t, h * d)
+        )
     )
     f_mhla = jax.jit(
-        lambda x, k, v: jax.nn.relu(mhla_chunk_fused(x, k, v, m)[0])
+        lambda x, kk, vv: jax.nn.relu(
+            mhla_chunk_fused_flat(x, kk, vv, m, num_heads=h)[0]
+        )
     )
 
-    t_flash = measure(f_flash, q, (k, v))
-    t_mhla = measure(f_mhla, q, (k, v))
+    t_flash = measure(f_flash, qf, (kf, vf))
+    t_mhla = measure(f_mhla, qf, (kf, vf))
 
     speedup = t_flash / t_mhla
     print(

@@ -1,4 +1,4 @@
 from .flash_attention import flash_attention
-from .mhla_chunk_pallas import mhla_chunk_fused
+from .mhla_chunk_pallas import mhla_chunk_fused, mhla_chunk_fused_flat
 
-__all__ = ["flash_attention", "mhla_chunk_fused"]
+__all__ = ["flash_attention", "mhla_chunk_fused", "mhla_chunk_fused_flat"]

@@ -2,31 +2,42 @@
 
 The chunked MHLA op decomposes into (SURVEY.md section 7, build step 3):
 
-  A. per-chunk states   S_j = k_j^T v_j          — dense batched matmul (XLA)
-  B. state mixing       S~ = tril(M,-1) @ S      — one [N,N]@[N,H*Dk*Dv] GEMM (XLA)
-  C. output             o_i = q_i @ S~_i + M[i,i] * (tril(q_i k_i^T) @ v_i)
+  A. per-chunk states   S_j = k_j^T v_j            — Pallas batched matmul
+  B. far state mixing   S~ = tril_far(M) @ S       — triangular-blocked GEMM
+  C. supertile output   o = (qk^T * W) v + q @ S~  — Pallas supertile kernel
 
-Phases A/B are single large MXU GEMMs that XLA emits optimally (B keeps the
-tiny [N,N] matrix resident and streams the state stack exactly once). The
-Pallas work is phase C — where XLA would materialize the [B,H,N,C,C]
-intra-chunk score tensor in HBM — plus its backward.
+Supertile decomposition: chunks are grouped G at a time into S = G*C token
+"supertiles" (256 tokens at the default C=64). Within a supertile, the
+intra-chunk causal term *and* the near-inter chunk terms collapse into one
+wide masked attention — the per-token-pair weight between chunks i >= j of
+the same supertile is ``M[i, j] * (q k^T)`` because ``q (M S_j) = M (q k_j^T)
+v_j`` — while contributions from chunks of *earlier* supertiles ride in as a
+per-chunk "virtual value" dot ``q @ mixed_far``. Everything the MXU sees is a
+[256, 256] or [256, 128] matmul instead of the 64-row chunk matmuls of the
+naive decomposition, which were weight-reload bound (measured 1.2 ms -> 0.58
+ms for phase C at 32k/8h/128d).
 
 HBM-traffic design (the op is bandwidth-bound at ~256 FLOP/byte ceiling):
 
+- **Full-row blocks.** Every Pallas block spans all heads of a token row
+  ([S, H*D] / [H*Dk, Dv] tiles, index maps only over (batch, supertile)),
+  so each DMA moves whole contiguous rows; per-head slicing happens in VMEM.
+  Per-head BlockSpecs made 256-byte strided transfers and ran phase A 3x off
+  its roofline (1.0 ms vs 0.33 ms measured at 32k).
 - ``states`` and ``mixed`` are materialized in the compute dtype (bf16 for
   bf16 inputs) — fp32 accumulation inside the GEMMs, cast in the epilogue.
-  Phase C always consumed them at compute dtype anyway, so this halves the
-  two largest intermediates (268 MB -> 134 MB each at 32k/8h/128d) with
-  bit-identical kernel inputs.
 - The q scale (Dk^-0.5) is folded into the mixing matrix: the output is
-  linear in both the inter term (q @ (scale*M) S) and the intra term
-  ((scale*M[i,i]) tril(q k^T) v), so scaling M replaces a full scaled copy
-  of q (+-128 MB of traffic).
-- The backward is a second Pallas kernel over the same grid, recomputing the
-  intra-chunk scores in VMEM (flash-style recompute; the reference's Triton
-  GLA kernels make the same choice, ``fla/ops/gla/chunk.py:1190-1196``) and
-  emitting dq/dk/dv/dmixed plus a per-(B,H) partial for the diagonal
-  mixing-matrix gradient.
+  linear in M for both the near term ((scale*M) * qk^T v) and the far term
+  (q @ (scale*M) S), so scaling M replaces a full scaled copy of q
+  (~128 MB of traffic).
+- Phase B runs as a 4x4 triangular-blocked GEMM: the strictly-upper blocks
+  of tril(M) are all zero, so 6/16 of the dense N^2 FLOPs are skipped
+  (measured 0.40 -> 0.28 ms at N=512) while each GEMM stays MXU-sized.
+- The backward is a second Pallas kernel over the same supertile grid,
+  recomputing the masked scores in VMEM (flash-style recompute; the
+  reference's Triton GLA kernels make the same choice,
+  ``fla/ops/gla/chunk.py:1190-1196``) and emitting dq/dk/dv/dmixed plus a
+  per-supertile partial for the near mixing-block gradient.
 
 Semantics match ``mhla_tpu.ops.mhla_chunk`` exactly (same oracle tests).
 Reference op: ``mhla_nlp/fla/ops/mhla/naive.py:11-83``.
@@ -42,10 +53,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# per-cell VMEM budget for picking the chunk-group size (bytes); the Pallas
-# pipeline double-buffers every block, so keep the working set well under
-# the ~16 MB of VMEM.
-_VMEM_BUDGET = 6 * 1024 * 1024
+# Budgets for picking tile sizes (bytes). The Pallas pipeline double-buffers
+# every in/out block; scratch ([S, S] fp32 score/weight tiles) is single.
+# Keep the worst-case working set well under the ~16 MB of VMEM.
+_VMEM_BUDGET = 6 * 1024 * 1024  # phase A (double-buffered blocks only)
+_VMEM_BUDGET_ST = 13 * 1024 * 1024  # supertile kernels (blocks + scratch)
 
 # Tests flip this to exercise the real kernel bodies (indexing, masking,
 # accumulation) in Pallas interpret mode on CPU, where the production path
@@ -57,124 +69,135 @@ def _interpret() -> bool:
     return FORCE_INTERPRET and jax.default_backend() != "tpu"
 
 
-def _pick_group(n: int, c: int, dk: int, dv: int, itemsize: int, n_bufs: int) -> int:
-    """Largest divisor g of n whose n_bufs tensor tiles fit the VMEM budget."""
-    per_chunk = (3 * c * max(dk, dv) + 2 * dk * dv + c * dv) * itemsize
-    for g in (32, 16, 8, 4, 2):
-        if n % g == 0 and n_bufs * g * per_chunk <= _VMEM_BUDGET:
+def _pick_group(n: int, per_chunk_bytes: int) -> int:
+    """Largest divisor g of n whose double-buffered tiles fit the budget."""
+    for g in (16, 8, 4, 2):
+        if n % g == 0 and 2 * g * per_chunk_bytes <= _VMEM_BUDGET:
             return g
     return 1
 
 
+def _hslice(x, hi: int, d: int):
+    return x[:, hi * d : (hi + 1) * d]
+
+
 # ---------------------------------------------------------------------------
-# phase A (per-chunk states) — Pallas so the head axis never needs a
-# relayout: the 5D einsum formulation (bnchk,bnchv->bnhkv) makes XLA
-# transpose q/k/v into head-major order (~0.5 GB of traffic at 32k).
+# phase A (per-chunk states)
 # ---------------------------------------------------------------------------
 
 
-def _phase_a_kernel(g_chunks, k_ref, v_ref, s_ref):
+def _phase_a_kernel(g_chunks, nh, dk, dv, k_ref, v_ref, s_ref):
     for g in range(g_chunks):
-        k = k_ref[0, g]  # [C, Dk]
-        v = v_ref[0, g]  # [C, Dv]
-        s = jnp.dot(k.T, v, preferred_element_type=jnp.float32)
-        s_ref[0, g] = s.astype(s_ref.dtype)
+        k = k_ref[0, g]  # [C, H*Dk]
+        v = v_ref[0, g]  # [C, H*Dv]
+        for hi in range(nh):
+            s = jax.lax.dot_general(
+                _hslice(k, hi, dk), _hslice(v, hi, dv),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s_ref[0, g, hi * dk : (hi + 1) * dk, :] = s.astype(s_ref.dtype)
 
 
-def _phase_a_pallas(k: jax.Array, v: jax.Array) -> jax.Array:
-    """k: [B, N, C, H, Dk], v: [B, N, C, H, Dv] -> states [B, N, H*Dk, Dv]."""
-    b, n, c, h, dk = k.shape
-    dv = v.shape[-1]
-    g = _pick_group(n, c, dk, dv, k.dtype.itemsize, n_bufs=2)
-    k4 = k.reshape(b, n, c, h * dk)
-    v4 = v.reshape(b, n, c, h * dv)
-    grid_spec = pl.GridSpec(
-        grid=(b, h, n // g),
+def _phase_a_pallas(k4: jax.Array, v4: jax.Array, h: int) -> jax.Array:
+    """k4: [B, N, C, H*Dk], v4: [B, N, C, H*Dv] -> states [B, N, H*Dk, Dv]."""
+    b, n, c, hdk = k4.shape
+    dk = hdk // h
+    dv = v4.shape[-1] // h
+    nbytes = k4.dtype.itemsize
+    per_chunk = (c * h * (dk + dv) + h * dk * dv) * nbytes
+    g = _pick_group(n, per_chunk)
+    return pl.pallas_call(
+        functools.partial(_phase_a_kernel, g, h, dk, dv),
+        grid=(b, n // g),
         in_specs=[
-            pl.BlockSpec((1, g, c, dk), lambda bi, hi, ni: (bi, ni, 0, hi)),
-            pl.BlockSpec((1, g, c, dv), lambda bi, hi, ni: (bi, ni, 0, hi)),
+            pl.BlockSpec((1, g, c, h * dk), lambda bi, ni: (bi, ni, 0, 0)),
+            pl.BlockSpec((1, g, c, h * dv), lambda bi, ni: (bi, ni, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, g, dk, dv), lambda bi, hi, ni: (bi, ni, hi, 0)
+            (1, g, h * dk, dv), lambda bi, ni: (bi, ni, 0, 0)
         ),
-    )
-    return pl.pallas_call(
-        functools.partial(_phase_a_kernel, g),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n, h * dk, dv), k.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n, h * dk, dv), k4.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * n * c * dk * dv,
-            bytes_accessed=(k.size + v.size + b * n * h * dk * dv)
-            * k.dtype.itemsize,
+            bytes_accessed=(k4.size + v4.size + b * n * h * dk * dv) * nbytes,
             transcendentals=0,
         ),
         interpret=_interpret(),
     )(k4, v4)
 
 
-def _phase_a_bwd_kernel(g_chunks, k_ref, v_ref, ds_ref, dk_ref, dv_ref):
+def _phase_a_bwd_kernel(g_chunks, nh, dk, dv, k_ref, v_ref, ds_ref, dk_ref, dv_ref):
     for g in range(g_chunks):
         k = k_ref[0, g]
         v = v_ref[0, g]
-        ds = ds_ref[0, g]  # [Dk, Dv]
-        dk = jnp.dot(v, ds.T.astype(v.dtype), preferred_element_type=jnp.float32)
-        dv = jnp.dot(k, ds.astype(k.dtype), preferred_element_type=jnp.float32)
-        dk_ref[0, g] = dk.astype(dk_ref.dtype)
-        dv_ref[0, g] = dv.astype(dv_ref.dtype)
+        for hi in range(nh):
+            ds = ds_ref[0, g, hi * dk : (hi + 1) * dk, :]  # [Dk, Dv]
+            dk_h = jax.lax.dot_general(
+                _hslice(v, hi, dv), ds, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [C, Dk]
+            dv_h = jnp.dot(
+                _hslice(k, hi, dk), ds.astype(k.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            dk_ref[0, g, :, hi * dk : (hi + 1) * dk] = dk_h.astype(dk_ref.dtype)
+            dv_ref[0, g, :, hi * dv : (hi + 1) * dv] = dv_h.astype(dv_ref.dtype)
 
 
-def _phase_a_bwd_pallas(k, v, ds4):
-    b, n, c, h, dk = k.shape
-    dv = v.shape[-1]
-    g = _pick_group(n, c, dk, dv, k.dtype.itemsize, n_bufs=3)
-    k4 = k.reshape(b, n, c, h * dk)
-    v4 = v.reshape(b, n, c, h * dv)
+def _phase_a_bwd_pallas(k4, v4, ds4, h):
+    b, n, c, hdk = k4.shape
+    dk = hdk // h
+    dv = v4.shape[-1] // h
+    nbytes = k4.dtype.itemsize
+    per_chunk = (2 * c * h * (dk + dv) + h * dk * dv) * nbytes
+    g = _pick_group(n, per_chunk)
     tok = lambda d: pl.BlockSpec(  # noqa: E731
-        (1, g, c, d), lambda bi, hi, ni: (bi, ni, 0, hi)
+        (1, g, c, h * d), lambda bi, ni: (bi, ni, 0, 0)
     )
-    st = pl.BlockSpec((1, g, dk, dv), lambda bi, hi, ni: (bi, ni, hi, 0))
-    outs = pl.pallas_call(
-        functools.partial(_phase_a_bwd_kernel, g),
-        grid_spec=pl.GridSpec(
-            grid=(b, h, n // g),
-            in_specs=[tok(dk), tok(dv), st],
-            out_specs=(tok(dk), tok(dv)),
-        ),
+    st = pl.BlockSpec((1, g, h * dk, dv), lambda bi, ni: (bi, ni, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_phase_a_bwd_kernel, g, h, dk, dv),
+        grid=(b, n // g),
+        in_specs=[tok(dk), tok(dv), st],
+        out_specs=(tok(dk), tok(dv)),
         out_shape=(
-            jax.ShapeDtypeStruct((b, n, c, h * dk), k.dtype),
-            jax.ShapeDtypeStruct((b, n, c, h * dv), v.dtype),
+            jax.ShapeDtypeStruct((b, n, c, h * dk), k4.dtype),
+            jax.ShapeDtypeStruct((b, n, c, h * dv), v4.dtype),
         ),
         interpret=_interpret(),
     )(k4, v4, ds4)
-    return outs[0].reshape(b, n, c, h, dk), outs[1].reshape(b, n, c, h, dv)
 
 
-def _phase_a_xla(k5, v5):
-    b, n, c, h, dk = k5.shape
-    dv = v5.shape[-1]
+def _phase_a_xla(k4, v4, h):
+    b, n, c, hdk = k4.shape
+    dk = hdk // h
+    dv = v4.shape[-1] // h
+    k5 = k4.reshape(b, n, c, h, dk)
+    v5 = v4.reshape(b, n, c, h, dv)
     states = jnp.einsum(
         "bnchk,bnchv->bnhkv", k5, v5, preferred_element_type=jnp.float32
-    ).astype(k5.dtype)
+    ).astype(k4.dtype)
     return states.reshape(b, n, h * dk, dv)
 
 
-@jax.custom_vjp
-def _phase_a(k5, v5):
-    """[B,N,C,H,Dk] x [B,N,C,H,Dv] -> per-chunk states [B,N,H*Dk,Dv]."""
-    if _use_pallas(k5.shape[2], k5.shape[4], v5.shape[4]):
-        return _phase_a_pallas(k5, v5)
-    return _phase_a_xla(k5, v5)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _phase_a(k4, v4, h):
+    """[B,N,C,H*Dk] x [B,N,C,H*Dv] -> per-chunk states [B,N,H*Dk,Dv]."""
+    if _use_pallas(k4.shape[2], k4.shape[3] // h, v4.shape[3] // h):
+        return _phase_a_pallas(k4, v4, h)
+    return _phase_a_xla(k4, v4, h)
 
 
-def _phase_a_fwd(k5, v5):
-    return _phase_a(k5, v5), (k5, v5)
+def _phase_a_fwd(k4, v4, h):
+    return _phase_a(k4, v4, h), (k4, v4)
 
 
-def _phase_a_bwd(res, ds4):
-    k5, v5 = res
-    if _use_pallas(k5.shape[2], k5.shape[4], v5.shape[4]):
-        return _phase_a_bwd_pallas(k5, v5, ds4.astype(k5.dtype))
-    _, vjp = jax.vjp(_phase_a_xla, k5, v5)
+def _phase_a_bwd(h, res, ds4):
+    k4, v4 = res
+    if _use_pallas(k4.shape[2], k4.shape[3] // h, v4.shape[3] // h):
+        return _phase_a_bwd_pallas(k4, v4, ds4.astype(k4.dtype), h)
+    _, vjp = jax.vjp(functools.partial(_phase_a_xla, h=h), k4, v4)
     return vjp(ds4)
 
 
@@ -182,214 +205,371 @@ _phase_a.defvjp(_phase_a_fwd, _phase_a_bwd)
 
 
 # ---------------------------------------------------------------------------
-# forward phase C
+# phase B (triangular-blocked far state mixing)
 # ---------------------------------------------------------------------------
 
 
-def _phase_c_kernel(g_chunks, mdiag_ref, q_ref, k_ref, v_ref, mixed_ref, o_ref):
-    """One (b, h, n-group) cell over ``g_chunks`` consecutive chunks:
-    o_j = q_j @ mixed_j + M[j,j] * (tril(q_j k_j^T) @ v_j)."""
-    ng = pl.program_id(2)
-    c = q_ref.shape[2]
-    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    causal = row >= col
-    for g in range(g_chunks):  # static unroll amortizes grid overhead
-        q = q_ref[0, g]  # [C, Dk]
-        k = k_ref[0, g]
-        v = v_ref[0, g]
-        mixed = mixed_ref[0, g]  # [Dk, Dv] (compute dtype)
-        o_inter = jnp.dot(
-            q, mixed.astype(q.dtype), preferred_element_type=jnp.float32
-        )
-        attn = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-        attn = jnp.where(causal, attn, 0.0).astype(v.dtype)
-        o_intra = jnp.dot(attn, v, preferred_element_type=jnp.float32)
-        o = o_inter + mdiag_ref[ng * g_chunks + g] * o_intra
-        o_ref[0, g] = o.astype(o_ref.dtype)
+def _mix_bands(n: int, lower: bool):
+    """Halving row bands of a triangular [N, N] matrix. For lower: band
+    rows [lo, hi) only need columns [0, hi); for upper: columns [lo, n)."""
+    out, hi = [], n
+    while hi > 64:
+        lo = hi // 2
+        out.append((lo, hi))
+        hi = lo
+    out.append((0, hi))
+    if not lower:
+        out = [(n - hi, n - lo) for lo, hi in out]
+    return out
 
 
-def _phase_c_pallas(
-    q: jax.Array,  # [B, N, C, H, Dk]  (raw; scale folded into m_diag/mixed)
-    k: jax.Array,  # [B, N, C, H, Dk]
-    v: jax.Array,  # [B, N, C, H, Dv]
-    mixed: jax.Array,  # [B, N, H, Dk, Dv]  (compute dtype, scale folded)
-    m_diag: jax.Array,  # [N] fp32 (scale folded)
-) -> jax.Array:
-    b, n, c, h, dk = q.shape
-    dv = v.shape[-1]
-    g = _pick_group(n, c, dk, dv, q.dtype.itemsize, n_bufs=2)
+def _mix_kernel(bands, lower, m_ref, s_ref, o_ref):
+    nn = m_ref.shape[0]
+    for lo, hi in bands:
+        if lower:
+            mm = m_ref[lo:hi, :hi]
+            ss = s_ref[0, :hi]  # [hi, Rtile, Dv]
+        else:
+            mm = m_ref[lo:hi, lo:]
+            ss = s_ref[0, lo:nn]
+        o = jax.lax.dot_general(
+            mm, ss, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # rank-3 rhs: the [Rtile, Dv] minor dims ride along untouched
+        o_ref[0, lo:hi] = o.astype(o_ref.dtype)
 
-    # Head-folded 4D views (free reshapes): per-head [C, D] tiles are blocks
-    # of the last axis, satisfying the (8, 128) tiling rule with no relayout.
-    q4 = q.reshape(b, n, c, h * dk)
-    k4 = k.reshape(b, n, c, h * dk)
-    v4 = v.reshape(b, n, c, h * dv)
-    mixed4 = mixed.reshape(b, n, h * dk, dv)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, h, n // g),
+def _mix_pallas(m_tri, states4, lower: bool):
+    b, n, hdk, dv = states4.shape
+    nbytes = states4.dtype.itemsize
+    rtile = hdk
+    for cand in (16, 8, 4, 2, 1):
+        if hdk % cand == 0 and 4 * n * cand * dv * nbytes + n * n * nbytes <= _VMEM_BUDGET_ST:
+            rtile = cand
+            break
+    bands = _mix_bands(n, lower)
+    flops = (
+        2 * sum((hi - lo) * (hi if lower else n - lo) for lo, hi in bands)
+        * hdk * dv * b
+    )
+    return pl.pallas_call(
+        functools.partial(_mix_kernel, bands, lower),
+        grid=(b, hdk // rtile),
         in_specs=[
-            pl.BlockSpec((1, g, c, dk), lambda bi, hi, ni, md: (bi, ni, 0, hi)),
-            pl.BlockSpec((1, g, c, dk), lambda bi, hi, ni, md: (bi, ni, 0, hi)),
-            pl.BlockSpec((1, g, c, dv), lambda bi, hi, ni, md: (bi, ni, 0, hi)),
-            pl.BlockSpec((1, g, dk, dv), lambda bi, hi, ni, md: (bi, ni, hi, 0)),
+            pl.BlockSpec((n, n), lambda bi, fi: (0, 0)),
+            pl.BlockSpec((1, n, rtile, dv), lambda bi, fi: (bi, 0, fi, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, g, c, dv), lambda bi, hi, ni, md: (bi, ni, 0, hi)
-        ),
-    )
-    flops = 2 * b * h * n * (c * dk * dv + c * c * dk + c * c * dv)
-    nbytes = q.dtype.itemsize
-    out = pl.pallas_call(
-        functools.partial(_phase_c_kernel, g),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n, c, h * dv), q.dtype),
+        out_specs=pl.BlockSpec((1, n, rtile, dv), lambda bi, fi: (bi, 0, fi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, hdk, dv), states4.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(q.size + k.size + 2 * v.size + mixed.size) * nbytes,
+            bytes_accessed=2 * states4.size * nbytes + n * n * nbytes,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(m_diag, q4, k4, v4, mixed4)
-    return out.reshape(b, n, c, h, dv)
+    )(m_tri, states4)
 
 
-# ---------------------------------------------------------------------------
-# backward phase C
-# ---------------------------------------------------------------------------
+def _mix_xla(m_far, states4):
+    out = jnp.einsum(
+        "ij,bjrd->bird", m_far, states4,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(states4.dtype)
 
 
-def _phase_c_bwd_kernel(
-    g_chunks,
-    mdiag_ref,
-    q_ref,
-    k_ref,
-    v_ref,
-    mixed_ref,
-    do_ref,
-    dq_ref,
-    dk_ref,
-    dv_ref,
-    dmixed_ref,
-    dmd_ref,
-):
-    """Per-chunk backward (all terms chunk-local):
+def _mix_use_pallas(n: int, dv: int) -> bool:
+    on_tpu = jax.default_backend() == "tpu"
+    return (on_tpu or _interpret()) and n % 64 == 0 and n >= 128 and dv % 128 == 0
 
-      attn    = tril(q k^T)                       (recomputed in VMEM)
-      dmdiag  = <attn @ v, do>                    (per-(b,h) partial)
-      dAttn   = mdiag * tril(do v^T)
-      dq      = do mixed^T + dAttn k
-      dk      = dAttn^T q
-      dv      = mdiag * attn^T do
-      dmixed  = q^T do
+
+@jax.custom_vjp
+def mix_states(m_far: jax.Array, states4: jax.Array):
+    """``mixed[i] = sum_j m_far[i, j] states[j]`` with the triangular
+    structure exploited in VMEM.
+
+    m_far [N, N] (compute dtype; zero at and above the supertile block
+    diagonal), states4 [B, N, H*Dk, Dv]. The Pallas kernel keeps the [N, N]
+    factor VMEM-resident, streams ``states`` exactly once in row-tiles of
+    the H*Dk axis (a rank-3 dot_general keeps the [Rtile, Dv] minor dims —
+    and therefore the consumer's tiling — untouched, so no relayout ever
+    reaches HBM), and splits each tile's GEMM into halving row bands so the
+    zero upper triangle is never multiplied. 0.85 -> 0.38 ms at N=512,
+    F=128k vs the dense einsum; jnp-level band splits are 2-6x SLOWER than
+    dense because they re-stream states or materialize fp32 partials in HBM.
     """
-    ng = pl.program_id(2)
-    c = q_ref.shape[2]
-    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    causal = row >= col
-    f32 = jnp.float32
-    for g in range(g_chunks):
-        q = q_ref[0, g]
-        k = k_ref[0, g]
-        v = v_ref[0, g]
-        mixed = mixed_ref[0, g]
-        do = do_ref[0, g]
-        md = mdiag_ref[ng * g_chunks + g]
-
-        attn = jnp.dot(q, k.T, preferred_element_type=f32)
-        attn = jnp.where(causal, attn, 0.0).astype(v.dtype)
-        ov = jnp.dot(attn, v, preferred_element_type=f32)
-        # per-chunk dmdiag partial as a [Dv] lane vector (summed on the host
-        # side over b, h, lanes) — scalar stores don't tile on TPU
-        dmd_ref[0, 0, g, :] = jnp.sum(ov * do.astype(f32), axis=0)
-
-        dattn = jnp.dot(do, v.T, preferred_element_type=f32)
-        dattn = jnp.where(causal, dattn * md, 0.0).astype(q.dtype)
-
-        dq = jnp.dot(do, mixed.T.astype(do.dtype), preferred_element_type=f32)
-        dq = dq + jnp.dot(dattn, k, preferred_element_type=f32)
-        dq_ref[0, g] = dq.astype(dq_ref.dtype)
-
-        dk = jnp.dot(dattn.T, q, preferred_element_type=f32)
-        dk_ref[0, g] = dk.astype(dk_ref.dtype)
-
-        dv = jnp.dot(attn.T, do, preferred_element_type=f32) * md
-        dv_ref[0, g] = dv.astype(dv_ref.dtype)
-
-        dmixed = jnp.dot(q.T, do, preferred_element_type=f32)
-        dmixed_ref[0, g] = dmixed.astype(dmixed_ref.dtype)
+    if _mix_use_pallas(m_far.shape[0], states4.shape[-1]):
+        return _mix_pallas(m_far, states4, lower=True)
+    return _mix_xla(m_far, states4)
 
 
-def _phase_c_bwd_pallas(q, k, v, mixed, m_diag, do):
-    b, n, c, h, dk = q.shape
-    dv = v.shape[-1]
-    g = _pick_group(n, c, dk, dv, q.dtype.itemsize, n_bufs=4)
+def _mix_states_fwd(m_far, states4):
+    return mix_states(m_far, states4), (m_far, states4)
 
-    q4 = q.reshape(b, n, c, h * dk)
-    k4 = k.reshape(b, n, c, h * dk)
-    v4 = v.reshape(b, n, c, h * dv)
-    mixed4 = mixed.reshape(b, n, h * dk, dv)
-    do4 = do.reshape(b, n, c, h * dv)
 
-    tok_spec = lambda d: pl.BlockSpec(  # noqa: E731
-        (1, g, c, d), lambda bi, hi, ni, md: (bi, ni, 0, hi)
-    )
-    state_spec = pl.BlockSpec(
-        (1, g, dk, dv), lambda bi, hi, ni, md: (bi, ni, hi, 0)
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, h, n // g),
-        in_specs=[tok_spec(dk), tok_spec(dk), tok_spec(dv), state_spec, tok_spec(dv)],
-        out_specs=(
-            tok_spec(dk),
-            tok_spec(dk),
-            tok_spec(dv),
-            state_spec,
-            pl.BlockSpec((1, 1, g, dv), lambda bi, hi, ni, md: (bi, hi, ni, 0)),
-        ),
-    )
-    flops = 2 * b * h * n * (
-        3 * c * dk * dv + 4 * c * c * dk + 3 * c * c * dv
-    )
-    outs = pl.pallas_call(
-        functools.partial(_phase_c_bwd_kernel, g),
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n, c, h * dk), q.dtype),
-            jax.ShapeDtypeStruct((b, n, c, h * dk), k.dtype),
-            jax.ShapeDtypeStruct((b, n, c, h * dv), v.dtype),
-            jax.ShapeDtypeStruct((b, n, h * dk, dv), mixed.dtype),
-            jax.ShapeDtypeStruct((b, h, n, dv), jnp.float32),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=2
-            * (q.size + k.size + 2 * v.size + mixed.size)
-            * q.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=_interpret(),
-    )(m_diag, q4, k4, v4, mixed4, do4)
-    dq4, dk4, dv4, dmixed4, dmd_bh = outs
-    dq = dq4.reshape(b, n, c, h, dk)
-    dk_ = dk4.reshape(b, n, c, h, dk)
-    dv_ = dv4.reshape(b, n, c, h, dv)
-    dmixed = dmixed4.reshape(b, n, h, dk, dv)
-    dmd = dmd_bh.sum(axis=(0, 1, 3)).astype(m_diag.dtype)
-    return dq, dk_, dv_, dmixed, dmd
+def _mix_states_bwd(res, dout):
+    m_far, states4 = res
+    dout = dout.astype(states4.dtype)
+    if _mix_use_pallas(m_far.shape[0], states4.shape[-1]):
+        # dS = m_far^T @ dout: the transpose is upper-triangular, same
+        # banded kernel with mirrored column ranges
+        dstates = _mix_pallas(m_far.T, dout, lower=False)
+    else:
+        dstates = jnp.einsum(
+            "ji,bjrd->bird", m_far, dout, preferred_element_type=jnp.float32
+        ).astype(states4.dtype)
+    dm = jnp.einsum(
+        "bird,bjrd->ij", dout, states4, preferred_element_type=jnp.float32
+    ).astype(m_far.dtype)
+    return dm, dstates
+
+
+mix_states.defvjp(_mix_states_fwd, _mix_states_bwd)
 
 
 # ---------------------------------------------------------------------------
-# XLA fallback (CPU path + oracle)
+# phase C — supertile kernel (forward)
+# ---------------------------------------------------------------------------
+
+
+def _st_masks(s: int, g: int, c: int):
+    """(keep, rep) for an [S, S] supertile: ``keep`` is the causal-block
+    mask (full for chunk row > chunk col, causal on the chunk diagonal) and
+    ``rep`` [S, G] fp32 maps chunk index -> token rows."""
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    rch, cch = ridx // c, cidx // c
+    keep = (rch > cch) | ((rch == cch) & (ridx >= cidx))
+    rep = (
+        jax.lax.broadcasted_iota(jnp.int32, (s, g), 0) // c
+        == jax.lax.broadcasted_iota(jnp.int32, (s, g), 1)
+    ).astype(jnp.float32)
+    return keep, rep
+
+
+def _st_fwd_kernel(g, c, nh, dk, dv, q_ref, k_ref, v_ref, mt_ref, mb_ref, o_ref):
+    """One (batch, supertile) cell: S = G*C token rows x all heads.
+
+      W  = where(keep, rep @ mb @ rep^T, 0)          (near mixing weights)
+      o  = (q k^T * W) v + sum_g rowmask_g * (q @ mixed_far_g)
+    """
+    s = g * c
+    f32 = jnp.float32
+    keep, rep = _st_masks(s, g, c)
+    mbb = mb_ref[0]  # [G, G] fp32 (scaled chunk-mixing block incl. diagonal)
+    w = jnp.dot(jnp.dot(rep, mbb), rep.T, preferred_element_type=f32)
+    w = jnp.where(keep, w, 0.0)
+    rowmask = [
+        (jax.lax.broadcasted_iota(jnp.int32, (s, dv), 0) // c) == gg
+        for gg in range(g)
+    ]
+    for hi in range(nh):
+        qh = _hslice(q_ref[0, 0], hi, dk)  # [S, Dk]
+        kh = _hslice(k_ref[0, 0], hi, dk)
+        vh = _hslice(v_ref[0, 0], hi, dv)
+        a = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )
+        aw = (a * w).astype(vh.dtype)
+        o = jnp.dot(aw, vh, preferred_element_type=f32)
+        for gg in range(g):
+            mth = mt_ref[0, gg, hi * dk : (hi + 1) * dk, :]  # [Dk, Dv]
+            far = jnp.dot(qh, mth, preferred_element_type=f32)
+            o = o + jnp.where(rowmask[gg], far, 0.0)
+        o_ref[0, 0, :, hi * dv : (hi + 1) * dv] = o.astype(o_ref.dtype)
+
+
+def _st_bwd_kernel(
+    g, c, nh, dk, dv,
+    q_ref, k_ref, v_ref, mt_ref, mb_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, dmt_ref, dmb_ref,
+):
+    """Supertile backward (flash-style recompute of the masked scores):
+
+      A    = q k^T ;  W = where(keep, rep mb rep^T, 0)
+      dV   = (A * W)^T dO
+      G'   = dO v^T
+      dA   = G' * W
+      dq   = dA k + sum_g rowmask_g(dO) @ mixed_far_g^T
+      dk   = dA^T q
+      dmixed_far_g = (rowmask_g(q))^T dO
+      dmb  = rep^T (G' * A * keep) rep       (stored as rep8^T (...) [8, S])
+    """
+    s = g * c
+    f32 = jnp.float32
+    keep, rep = _st_masks(s, g, c)
+    mbb = mb_ref[0]
+    w = jnp.dot(jnp.dot(rep, mbb), rep.T, preferred_element_type=f32)
+    w = jnp.where(keep, w, 0.0)
+    keep_f = keep.astype(f32)
+    # rep padded to a sublane multiple so the dmb partial tiles as [P, S]
+    p = max(8, ((g + 7) // 8) * 8)
+    rep8 = (
+        jax.lax.broadcasted_iota(jnp.int32, (s, p), 0) // c
+        == jax.lax.broadcasted_iota(jnp.int32, (s, p), 1)
+    ).astype(f32)
+    rowmask_v = [
+        (jax.lax.broadcasted_iota(jnp.int32, (s, dv), 0) // c) == gg
+        for gg in range(g)
+    ]
+    rowmask_k = [
+        (jax.lax.broadcasted_iota(jnp.int32, (s, dk), 0) // c) == gg
+        for gg in range(g)
+    ]
+    dmb_acc = jnp.zeros((p, s), f32)
+    for hi in range(nh):
+        qh = _hslice(q_ref[0, 0], hi, dk)
+        kh = _hslice(k_ref[0, 0], hi, dk)
+        vh = _hslice(v_ref[0, 0], hi, dv)
+        doh = _hslice(do_ref[0, 0], hi, dv)
+
+        a = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )
+        aw = (a * w).astype(vh.dtype)
+        # dV = (A*W)^T dO
+        dv_h = jax.lax.dot_general(
+            aw, doh, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        dv_ref[0, 0, :, hi * dv : (hi + 1) * dv] = dv_h.astype(dv_ref.dtype)
+
+        gp = jax.lax.dot_general(
+            doh, vh, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )  # dO v^T [S, S]
+        da = (gp * w).astype(qh.dtype)
+
+        dq_h = jnp.dot(da, kh, preferred_element_type=f32)
+        for gg in range(g):
+            mth = mt_ref[0, gg, hi * dk : (hi + 1) * dk, :]  # [Dk, Dv]
+            dog = jnp.where(rowmask_v[gg], doh, 0).astype(doh.dtype)
+            dq_h = dq_h + jax.lax.dot_general(
+                dog, mth, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
+            qg = jnp.where(rowmask_k[gg], qh, 0).astype(qh.dtype)
+            dmt_h = jax.lax.dot_general(
+                qg, doh, (((0,), (0,)), ((), ())), preferred_element_type=f32
+            )  # [Dk, Dv]
+            dmt_ref[0, gg, hi * dk : (hi + 1) * dk, :] = dmt_h.astype(
+                dmt_ref.dtype
+            )
+        dq_ref[0, 0, :, hi * dk : (hi + 1) * dk] = dq_h.astype(dq_ref.dtype)
+
+        dk_h = jax.lax.dot_general(
+            da, qh, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        dk_ref[0, 0, :, hi * dk : (hi + 1) * dk] = dk_h.astype(dk_ref.dtype)
+
+        dmb_acc = dmb_acc + jax.lax.dot_general(
+            rep8, gp * a * keep_f, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+    dmb_ref[0, 0] = dmb_acc
+
+
+def _st_vmem_bytes(s, g, h, dk, dv, nbytes, bwd: bool) -> int:
+    hd = h * max(dk, dv)
+    blocks = (4 if not bwd else 7) * s * hd * nbytes  # q,k,v,(do),o/dq,dk,dv
+    blocks += (1 if not bwd else 2) * g * h * dk * dv * nbytes  # mt (+dmt)
+    scratch = (4 if bwd else 3) * s * s * 4  # fp32 score/weight tiles
+    return 2 * blocks + scratch
+
+
+def _pick_supertile(n, c, h, dk, dv, nbytes) -> int:
+    """Largest G with S = G*C <= 256 whose working set fits VMEM."""
+    g = max(1, 256 // c)
+    while g > 1 and _st_vmem_bytes(g * c, g, h, dk, dv, nbytes, bwd=True) > _VMEM_BUDGET_ST:
+        g //= 2
+    return g
+
+
+def _phase_c_st_pallas(q4, k4, v4, mixed4, mb, g: int, c: int, h: int):
+    b, ns, s, hdk = q4.shape
+    hdv = v4.shape[-1]
+    dk = hdk // h
+    dv = hdv // h
+    flops = 2 * b * h * ns * (s * s * (dk + dv) + g * s * dk * dv)
+    nbytes = q4.dtype.itemsize
+    out = pl.pallas_call(
+        functools.partial(_st_fwd_kernel, g, c, h, dk, dv),
+        grid=(b, ns),
+        in_specs=[
+            pl.BlockSpec((1, 1, s, hdk), lambda bi, ni: (bi, ni, 0, 0)),
+            pl.BlockSpec((1, 1, s, hdk), lambda bi, ni: (bi, ni, 0, 0)),
+            pl.BlockSpec((1, 1, s, hdv), lambda bi, ni: (bi, ni, 0, 0)),
+            pl.BlockSpec((1, g, hdk, dv), lambda bi, ni: (bi, ni, 0, 0)),
+            pl.BlockSpec((1, g, g), lambda bi, ni: (ni, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, s, hdv), lambda bi, ni: (bi, ni, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, ns, s, hdv), q4.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q4.size * 2 + v4.size * 2 + mixed4.size) * nbytes,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(q4, k4, v4, mixed4, mb)
+    return out
+
+
+def _phase_c_st_bwd_pallas(q4, k4, v4, mixed4, mb, do4, g: int, c: int, h: int):
+    b, ns, s, hdk = q4.shape
+    hdv = v4.shape[-1]
+    dk = hdk // h
+    dv = hdv // h
+    p = max(8, ((g + 7) // 8) * 8)
+    nbytes = q4.dtype.itemsize
+    flops = 2 * b * h * ns * (3 * s * s * (dk + dv) // 2 + 2 * g * s * dk * dv)
+    outs = pl.pallas_call(
+        functools.partial(_st_bwd_kernel, g, c, h, dk, dv),
+        grid=(b, ns),
+        in_specs=[
+            pl.BlockSpec((1, 1, s, hdk), lambda bi, ni: (bi, ni, 0, 0)),
+            pl.BlockSpec((1, 1, s, hdk), lambda bi, ni: (bi, ni, 0, 0)),
+            pl.BlockSpec((1, 1, s, hdv), lambda bi, ni: (bi, ni, 0, 0)),
+            pl.BlockSpec((1, g, hdk, dv), lambda bi, ni: (bi, ni, 0, 0)),
+            pl.BlockSpec((1, g, g), lambda bi, ni: (ni, 0, 0)),
+            pl.BlockSpec((1, 1, s, hdv), lambda bi, ni: (bi, ni, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, s, hdk), lambda bi, ni: (bi, ni, 0, 0)),
+            pl.BlockSpec((1, 1, s, hdk), lambda bi, ni: (bi, ni, 0, 0)),
+            pl.BlockSpec((1, 1, s, hdv), lambda bi, ni: (bi, ni, 0, 0)),
+            pl.BlockSpec((1, g, hdk, dv), lambda bi, ni: (bi, ni, 0, 0)),
+            pl.BlockSpec((1, 1, p, s), lambda bi, ni: (bi, ni, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, ns, s, hdk), q4.dtype),
+            jax.ShapeDtypeStruct((b, ns, s, hdk), k4.dtype),
+            jax.ShapeDtypeStruct((b, ns, s, hdv), v4.dtype),
+            jax.ShapeDtypeStruct((b, ns * g, hdk, dv), mixed4.dtype),
+            jax.ShapeDtypeStruct((b, ns, p, s), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * (q4.size * 2 + v4.size * 2 + mixed4.size) * nbytes,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(q4, k4, v4, mixed4, mb, do4)
+    dq4, dk4, dv4, dmixed4, dmb_rows = outs
+    # fold the per-(batch, supertile) [P, S] row partial back to [NS, G, G]:
+    # dmb = sum_b rep_p^T(..) @ rep
+    rep = (
+        jnp.arange(s)[:, None] // c == jnp.arange(g)[None, :]
+    ).astype(jnp.float32)
+    dmb = jnp.einsum("bnps,sg->npg", dmb_rows[:, :, :g, :], rep)
+    return dq4, dk4, dv4, dmixed4, dmb
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback (CPU path; per-chunk decomposition — the supertile split is
+# a Pallas-only optimization, and its 7D einsum form hits a pathological
+# remote-compile path on TPU, minutes vs seconds)
 # ---------------------------------------------------------------------------
 
 
 def _core_xla(q5, k5, v5, mixed, m_diag):
-    """jnp phase C (CPU fallback + backward oracle)."""
+    """jnp phase C over [B, N, C, H, D] chunks:
+    o_j = q_j @ mixed_j + M[j,j] * (tril(q_j k_j^T) @ v_j)."""
     f32 = jnp.float32
     cdt = q5.dtype
     o_inter = jnp.einsum(
@@ -406,7 +586,7 @@ def _core_xla(q5, k5, v5, mixed, m_diag):
 
 def _pallas_compatible(c: int, dk: int, dv: int) -> bool:
     """Mosaic block rule: last two block dims must be (multiple of 8,
-    multiple of 128) — chunk rows x head dim tiles."""
+    multiple of 128) — token rows x head dim tiles."""
     return c % 8 == 0 and dk % 128 == 0 and dv % 128 == 0
 
 
@@ -415,32 +595,141 @@ def _use_pallas(c: int, dk: int, dv: int) -> bool:
     return (on_tpu or _interpret()) and _pallas_compatible(c, dk, dv)
 
 
-@jax.custom_vjp
-def _phase_c(q5, k5, v5, mixed, m_diag):
-    if _use_pallas(q5.shape[2], q5.shape[4], v5.shape[4]):
-        return _phase_c_pallas(q5, k5, v5, mixed, m_diag)
-    return _core_xla(q5, k5, v5, mixed, m_diag)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _phase_c_st(q4, k4, v4, mixed4, mb, g, c, h):
+    """Supertile phase C (Pallas fwd + bwd; callers guard with
+    ``_use_pallas``). q4/k4/v4: [B, NS, S, H*D] views, mixed4:
+    [B, N, H*Dk, Dv], mb: [NS, G, G] (scaled near-mixing blocks)."""
+    return _phase_c_st_pallas(q4, k4, v4, mixed4, mb, g, c, h)
 
 
-def _phase_c_fwd(q5, k5, v5, mixed, m_diag):
-    return _phase_c(q5, k5, v5, mixed, m_diag), (q5, k5, v5, mixed, m_diag)
+def _phase_c_st_fwd(q4, k4, v4, mixed4, mb, g, c, h):
+    return _phase_c_st(q4, k4, v4, mixed4, mb, g, c, h), (q4, k4, v4, mixed4, mb)
 
 
-def _phase_c_bwd(res, g):
-    q5, k5, v5, mixed, m_diag = res
-    if _use_pallas(q5.shape[2], q5.shape[4], v5.shape[4]):
-        g = g.astype(q5.dtype)
-        return _phase_c_bwd_pallas(q5, k5, v5, mixed, m_diag, g)
-    _, vjp = jax.vjp(_core_xla, q5, k5, v5, mixed, m_diag)
-    return vjp(g)
+def _phase_c_st_bwd(g, c, h, res, do4):
+    q4, k4, v4, mixed4, mb = res
+    do4 = do4.astype(q4.dtype)
+    return _phase_c_st_bwd_pallas(q4, k4, v4, mixed4, mb, do4, g, c, h)
 
 
-_phase_c.defvjp(_phase_c_fwd, _phase_c_bwd)
+_phase_c_st.defvjp(_phase_c_st_fwd, _phase_c_st_bwd)
 
 
 # ---------------------------------------------------------------------------
 # public op
 # ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "chunk_size", "output_final_state")
+)
+def mhla_chunk_fused_flat(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mixing_matrix: jax.Array,
+    num_heads: int,
+    chunk_size: int = 64,
+    output_final_state: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Chunked MHLA on head-flat [B, T, H*D] tensors (fused Pallas fwd+bwd).
+
+    This is the zero-relayout entry point: QKV projections produce [B, T,
+    H*D] naturally, and every kernel here consumes/produces that layout, so
+    a model layer that calls this never pays the [B,T,H,D] <-> [B,T,H*D]
+    TPU tile-relayout (~0.6 ms at 32k/8h/128d, measured) that the 4D API
+    costs. Semantics match :func:`mhla_tpu.ops.mhla_chunk` exactly.
+    """
+    from ..ops.mhla_chunk import _pad_to_chunks, prepare_mixing_matrix
+
+    in_dtype = q.dtype
+    b, t, hdk = q.shape
+    h = num_heads
+    dk = hdk // h
+    dv = v.shape[-1] // h
+    f32 = jnp.float32
+    cdt = jnp.bfloat16 if in_dtype == jnp.bfloat16 else f32
+
+    q = _pad_to_chunks(q, chunk_size)
+    k = _pad_to_chunks(k, chunk_size)
+    v = _pad_to_chunks(v, chunk_size)
+    n_real = q.shape[1] // chunk_size
+    c = chunk_size
+
+    # fold the q scale into the mixing matrix: the output is linear in M for
+    # both the near ((scale*M) qk^T v) and far (q @ (scale*M) S) terms
+    m = prepare_mixing_matrix(mixing_matrix, n_real) * (dk**-0.5)
+    m = jnp.tril(m)
+
+    gsz = _pick_supertile(n_real, c, h, dk, dv, 2 if cdt == jnp.bfloat16 else 4)
+    use_st = _use_pallas(c, dk, dv) and gsz * c >= 128
+
+    q4c = q.reshape(b, n_real, c, h * dk).astype(cdt)
+    k4c = k.reshape(b, n_real, c, h * dk).astype(cdt)
+    v4c = v.reshape(b, n_real, c, h * dv).astype(cdt)
+
+    if not use_st:
+        # per-chunk jnp path (CPU / Mosaic-incompatible head dims): simple
+        # 5D einsums; mixed here includes the near chunk terms
+        states4 = _phase_a(k4c, v4c, h)
+        m_strict = jnp.tril(m, k=-1)
+        mixed4 = mix_states(m_strict.astype(cdt), states4)
+        q5 = q4c.reshape(b, n_real, c, h, dk)
+        k5 = k4c.reshape(b, n_real, c, h, dk)
+        v5 = v4c.reshape(b, n_real, c, h, dv)
+        o = _core_xla(
+            q5, k5, v5, mixed4.reshape(b, n_real, h, dk, dv), jnp.diagonal(m)
+        )
+        o = o.reshape(b, n_real * c, h * dv)[:, :t].astype(in_dtype)
+        states_out = (
+            states4.reshape(b, n_real, h, dk, dv)
+            .transpose(0, 2, 1, 3, 4)
+            .astype(f32)
+            if output_final_state
+            else None
+        )
+        return o, states_out
+
+    # supertile grouping: pad the chunk axis (and M with zero rows/cols) to a
+    # multiple of G. Pad chunks sit at the end with all-zero mixing weights,
+    # so they never touch real outputs; jnp.pad's vjp slices the gradients.
+    n = ((n_real + gsz - 1) // gsz) * gsz
+    pad_n = n - n_real
+    if pad_n:
+        pw = ((0, 0), (0, pad_n), (0, 0), (0, 0))
+        q4c, k4c, v4c = jnp.pad(q4c, pw), jnp.pad(k4c, pw), jnp.pad(v4c, pw)
+        m = jnp.pad(m, ((0, pad_n), (0, pad_n)))
+    ns = n // gsz
+
+    # near-mixing blocks: the G x G diagonal blocks of M (incl. the chunk
+    # diagonal); far mixing: everything strictly below the block diagonal
+    sidx = jnp.arange(n) // gsz
+    m_far = jnp.where(sidx[:, None] > sidx[None, :], m, 0.0)
+    mb = jnp.diagonal(
+        m.reshape(ns, gsz, ns, gsz), axis1=0, axis2=2
+    ).transpose(2, 0, 1)  # [NS, G, G]
+
+    # A: per-chunk states in head-folded layout [B, N, H*Dk, Dv]
+    states4 = _phase_a(k4c, v4c, h)
+    # B: banded triangular [N,N] x [N, H*Dk, Dv] mix, tiling-preserving
+    mixed4 = mix_states(m_far.astype(cdt), states4)
+
+    s = gsz * c
+    q4 = q4c.reshape(b, ns, s, h * dk)
+    k4 = k4c.reshape(b, ns, s, h * dk)
+    v4 = v4c.reshape(b, ns, s, h * dv)
+    o = _phase_c_st(q4, k4, v4, mixed4, mb, gsz, c, h)
+    o = o.reshape(b, n * c, h * dv)[:, :t].astype(in_dtype)
+    states_out = (
+        states4[:, :n_real]
+        .reshape(b, n_real, h, dk, dv)
+        .transpose(0, 2, 1, 3, 4)
+        .astype(f32)
+        if output_final_state
+        else None
+    )
+    return o, states_out
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_size", "output_final_state"))
@@ -452,54 +741,22 @@ def mhla_chunk_fused(
     chunk_size: int = 64,
     output_final_state: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Drop-in for :func:`mhla_tpu.ops.mhla_chunk` with fused Pallas phase C
-    (fwd + bwd) on TPU — same [B, T, H, D] API, fp32-accumulation numerics.
+    """Drop-in for :func:`mhla_tpu.ops.mhla_chunk` with the fused Pallas
+    supertile kernels — same [B, T, H, D] API, fp32-accumulation numerics.
 
-    Traffic notes vs the plain op: states/mixed live in the compute dtype
-    (phase C consumed them at compute dtype already) and the q scale is
-    folded into the mixing matrix, so for bf16 inputs nothing fp32 larger
-    than the [N, N] mixing matrix ever reaches HBM.
+    Note: the 4D head axis costs one TPU tile-relayout per input at the
+    kernel boundary; layers should prefer :func:`mhla_chunk_fused_flat`,
+    which takes the projection-natural [B, T, H*D] layout end to end.
     """
-    from ..ops.mhla_chunk import _pad_to_chunks, prepare_mixing_matrix
-
-    in_dtype = q.dtype
     b, t, h, dk = q.shape
     dv = v.shape[-1]
-    f32 = jnp.float32
-    cdt = jnp.bfloat16 if in_dtype == jnp.bfloat16 else f32
-
-    q = _pad_to_chunks(q, chunk_size)
-    k = _pad_to_chunks(k, chunk_size)
-    v = _pad_to_chunks(v, chunk_size)
-    n = q.shape[1] // chunk_size
-    c = chunk_size
-
-    # fold the q scale into the mixing matrix: the output is linear in M for
-    # both the inter (q @ (M S)) and intra (M[i,i] tril(qk^T)v) terms
-    m = prepare_mixing_matrix(mixing_matrix, n) * (dk**-0.5)
-    m_strict = jnp.tril(m, k=-1)
-    m_diag = jnp.diagonal(m)
-
-    q5 = q.reshape(b, n, c, h, dk).astype(cdt)
-    k5 = k.reshape(b, n, c, h, dk).astype(cdt)
-    v5 = v.reshape(b, n, c, h, dv).astype(cdt)
-
-    # A: per-chunk states in head-folded layout [B, N, H*Dk, Dv] (Pallas —
-    # avoids the relayout transposes the 5D einsum would trigger)
-    states4 = _phase_a(k5, v5)
-    # B: one clean [N,N] @ [N, H*Dk*Dv] GEMM on a free-reshape flat view;
-    # the [N,N] factor stays VMEM-resident and states stream exactly once
-    states_flat = states4.reshape(b, n, h * dk * dv)
-    mixed = jnp.einsum(
-        "ij,bjf->bif", m_strict.astype(cdt), states_flat,
-        preferred_element_type=f32,
-    ).astype(cdt).reshape(b, n, h, dk, dv)
-
-    o = _phase_c(q5, k5, v5, mixed, m_diag)
-    o = o.reshape(b, n * c, h, dv)[:, :t].astype(in_dtype)
-    states_out = (
-        states4.reshape(b, n, h, dk, dv).transpose(0, 2, 1, 3, 4).astype(f32)
-        if output_final_state
-        else None
+    o, states_out = mhla_chunk_fused_flat(
+        q.reshape(b, t, h * dk),
+        k.reshape(b, t, h * dk),
+        v.reshape(b, t, h * dv),
+        mixing_matrix,
+        num_heads=h,
+        chunk_size=chunk_size,
+        output_final_state=output_final_state,
     )
-    return o, states_out
+    return o.reshape(b, t, h, dv), states_out

@@ -66,22 +66,25 @@ class TestPallasInterpret:
         yield
         mod.FORCE_INTERPRET = False
 
+    # t = 781 spans 13 chunks -> padded to 16 (4 supertiles of G=4), so the
+    # far virtual-key path, the near in-supertile path, and both padding
+    # seams (token and chunk axis) are all exercised.
     def test_forward_matches_op(self, key):
-        b, t, h, d = 1, 256, 2, 128
+        b, t, h, d = 2, 781, 2, 128
         q = jax.nn.relu(jax.random.normal(key, (b, t, h, d)))
         k = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(1), (b, t, h, d)))
         v = jax.random.normal(jax.random.PRNGKey(2), (b, t, h, d))
-        m = init_causal_mixing_matrix(4)
+        m = init_causal_mixing_matrix(13)
         o_ref, _ = mhla_chunk(q, k, v, m)
         o_pal, _ = mhla_chunk_fused(q, k, v, m)
         assert_close("pallas fwd", o_ref, o_pal, 1e-5)
 
     def test_backward_matches_op(self, key):
-        b, t, h, d = 1, 128, 2, 128
+        b, t, h, d = 2, 640, 2, 128
         q = jax.nn.relu(jax.random.normal(key, (b, t, h, d)))
         k = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(1), (b, t, h, d)))
         v = jax.random.normal(jax.random.PRNGKey(2), (b, t, h, d))
-        m = init_causal_mixing_matrix(2)
+        m = init_causal_mixing_matrix(10)
 
         def loss(fn, *args):
             return jnp.sum(jnp.cos(fn(*args)[0]))
