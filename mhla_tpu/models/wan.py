@@ -69,6 +69,14 @@ class WanConfig:
     # hybrid schedule
     linear_attn_idx: Optional[Tuple[int, ...]] = None
     attn_type: str = "mhla_uni"  # mhla_uni | linear | flash
+    # radial block-sparse schedule: listed softmax layers run splash-kernel
+    # sparse attention under the n-log-n frame-distance mask (reference
+    # ``model.py:258-281`` flex/bsa path). At inference, timesteps >=
+    # ``sparse_dense_from_t`` fall back to dense attention — the
+    # reference's hardcoded early-step quality guard (``model.py:2554-2556``);
+    # set None to disable the guard (training).
+    sparse_attn_idx: Optional[Tuple[int, ...]] = None
+    sparse_dense_from_t: Optional[float] = 850.0
     rope_after: bool = True
     without_rope: bool = False
     normalize_out: bool = False  # headline hybrid: norm_output false
@@ -85,6 +93,8 @@ class WanConfig:
     def layer_attn_type(self, i: int) -> str:
         if self.linear_attn_idx is not None and i in self.linear_attn_idx:
             return self.attn_type
+        if self.sparse_attn_idx is not None and i in self.sparse_attn_idx:
+            return "sparse"
         return "flash"
 
 
@@ -109,16 +119,26 @@ def build_wan_config(model_name: str = "Wan_T2V_1300M", **overrides) -> WanConfi
 
 class WanSelfAttention(nn.Module):
     """Softmax self-attention with 3D RoPE (reference ``model.py:211-287``,
-    flash-attn on GPU -> fused SDPA / Pallas flash on TPU)."""
+    flash-attn on GPU -> fused SDPA / Pallas flash on TPU). With
+    ``sparse=True`` the attention runs the radial block-sparse splash
+    kernel (reference flex/bsa path, ``model.py:258-281``), optionally
+    falling back to dense when ``use_dense`` (a traced bool from the
+    denoising timestep) is set."""
 
     dim: int
     num_heads: int
     qk_norm: bool = True
     eps: float = 1e-6
+    sparse: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, grid: Tuple[int, int, int]) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        grid: Tuple[int, int, int],
+        use_dense: Optional[jax.Array] = None,
+    ) -> jax.Array:
         b, t, _ = x.shape
         h, d = self.num_heads, self.dim // self.num_heads
         dense = lambda name: nn.Dense(  # noqa: E731
@@ -136,7 +156,24 @@ class WanSelfAttention(nn.Module):
         angles = jnp.asarray(rope_angles_3d(grid, d), jnp.float32)
         q = apply_rotary_3d_halves(q, angles)
         k = apply_rotary_3d_halves(k, angles)
-        o = sdpa(q, k, v, causal=False).reshape(b, t, self.dim)
+        if self.sparse:
+            from ..kernels.sparse_attention import sparse_flash_attention
+
+            if use_dense is not None:
+                # lax.cond: only the selected branch executes per step
+                o = jax.lax.cond(
+                    use_dense.astype(jnp.bool_),
+                    lambda ops: sdpa(*ops, causal=False),
+                    lambda ops: sparse_flash_attention(
+                        *ops, num_frames=grid[0]
+                    ),
+                    (q, k, v),
+                )
+            else:
+                o = sparse_flash_attention(q, k, v, num_frames=grid[0])
+        else:
+            o = sdpa(q, k, v, causal=False)
+        o = o.reshape(b, t, self.dim)
         return dense("o")(o)
 
 
@@ -195,7 +232,9 @@ class WanBlock(nn.Module):
         e0: jax.Array,  # [B, 6, dim] fp32 shared modulation
         context: jax.Array,  # [B, L_ctx, dim]
         grid: Tuple[int, int, int],
-    ) -> jax.Array:
+        use_dense: Optional[jax.Array] = None,  # sparse layers' t>=850 guard
+        capture: bool = False,  # functional intermediates (remat-safe)
+    ):
         cfg = self.cfg
         modulation = self.param(
             "modulation",
@@ -235,18 +274,21 @@ class WanBlock(nn.Module):
                 dtype=cfg.dtype,
                 name="self_attn",
             )(h, grid)
-        else:  # softmax
+        else:  # softmax (dense flash or radial block-sparse)
             h = WanSelfAttention(
                 dim=cfg.dim,
                 num_heads=cfg.num_heads,
                 qk_norm=cfg.qk_norm,
                 eps=cfg.eps,
+                sparse=attn_type == "sparse",
                 dtype=cfg.dtype,
                 name="self_attn",
-            )(h, grid)
+            )(h, grid, use_dense)
         # attention-output capture (reference AttentionHook, model.py:34-45;
-        # drives distillation). Retrieved via mutable=['intermediates'].
+        # drives distillation). Retrieved via mutable=['intermediates'], or
+        # — remat-compatible — returned functionally with ``capture=True``.
         self.sow("intermediates", "attn_out", h)
+        attn_out = h
         x = (x.astype(jnp.float32) + h.astype(jnp.float32) * e[2][:, None]).astype(
             x.dtype
         )
@@ -277,6 +319,8 @@ class WanBlock(nn.Module):
         )
         # block-output capture (reference BlockHook, model.py:54-124)
         self.sow("intermediates", "block_out", x)
+        if capture:
+            return x, (attn_out, x)
         return x
 
 
@@ -292,7 +336,8 @@ class WanModel(nn.Module):
         t: jax.Array,  # [B] timesteps (flow: t*1000)
         context: jax.Array,  # [B, text_len, text_dim]
         clip_fea: Optional[jax.Array] = None,  # [B, 257, image_dim] (i2v)
-    ) -> jax.Array:
+        capture: bool = False,  # also return per-block intermediates
+    ):
         cfg = self.cfg
         b = x.shape[0]
         pf, ph, pw = cfg.patch_size
@@ -340,11 +385,23 @@ class WanModel(nn.Module):
             img = LayerNorm(name="img_norm_out")(img)
             ctx = jnp.concatenate([img, ctx], axis=1)
 
+        # the reference's inference-time quality guard: sparse layers run
+        # dense attention while the denoising timestep is still >= 850
+        use_dense = None
+        if cfg.sparse_attn_idx is not None and cfg.sparse_dense_from_t is not None:
+            use_dense = jnp.max(t) >= cfg.sparse_dense_from_t
+
         block_cls = (
-            nn.remat(WanBlock, static_argnums=(4,)) if cfg.remat else WanBlock
+            nn.remat(WanBlock, static_argnums=(4, 6)) if cfg.remat else WanBlock
         )
+        caps = []
         for i in range(cfg.num_layers):
-            h = block_cls(cfg, i, name=f"blocks_{i}")(h, e0, ctx, grid)
+            h = block_cls(cfg, i, name=f"blocks_{i}")(
+                h, e0, ctx, grid, use_dense, capture
+            )
+            if capture:
+                h, cap = h
+                caps.append(cap)
 
         # head: 2-way modulation + zero-meaning linear
         head_mod = self.param(
@@ -363,4 +420,10 @@ class WanModel(nn.Module):
         # unpatchify back to [B, F*pf, H*ph, W*pw, out_dim]
         out = out.reshape(b, f, gh, gw, pf, ph, pw, cfg.out_dim)
         out = out.transpose(0, 1, 4, 2, 5, 3, 6, 7)
-        return out.reshape(b, f * pf, gh * ph, gw * pw, cfg.out_dim)
+        out = out.reshape(b, f * pf, gh * ph, gw * pw, cfg.out_dim)
+        if capture:
+            return out, {
+                "attn_out": [a for a, _ in caps],
+                "block_out": [x_ for _, x_ in caps],
+            }
+        return out

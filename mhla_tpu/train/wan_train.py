@@ -159,9 +159,8 @@ def build_model(cfg: WanTrainConfig) -> Tuple[WanModel, WanConfig]:
         text_dim=cfg.data.text_dim,
         dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
     )
-    if cfg.distill.enable:
-        # intermediates capture (sow) is incompatible with remat'ed blocks
-        mc = dataclasses.replace(mc, remat=False)
+    # distillation uses the functional ``capture=True`` intermediates path,
+    # which composes with remat (sow does not) — remat stays on either way
     return WanModel(mc), mc
 
 
@@ -284,18 +283,18 @@ def main(argv=None) -> dict:
             noise = jax.random.normal(n_rng, z.shape, z.dtype)
             x_t = flow_q_sample(z, t01, noise).astype(mc.dtype)
             tt = t01 * 1000.0
-            s_out, s_vars = model.apply(
-                eff, x_t, tt, ctx.astype(mc.dtype), mutable=["intermediates"]
+            s_out, s_caps = model.apply(
+                eff, x_t, tt, ctx.astype(mc.dtype), capture=True
             )
-            t_out, t_vars = model.apply(
+            t_out, t_caps = model.apply(
                 jax.lax.stop_gradient(frozen["teacher"]), x_t, tt,
-                ctx.astype(mc.dtype), mutable=["intermediates"],
+                ctx.astype(mc.dtype), capture=True,
             )
             d_logit = jnp.mean(
                 (s_out.astype(jnp.float32) - t_out.astype(jnp.float32)) ** 2
             )
-            s_attn = jax.tree.leaves(s_vars["intermediates"])
-            t_attn = jax.tree.leaves(t_vars["intermediates"])
+            s_attn = jax.tree.leaves(s_caps)
+            t_attn = jax.tree.leaves(t_caps)
             d_attn = sum(
                 jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
                 for a, b in zip(s_attn, t_attn)
