@@ -9,6 +9,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import tarfile
 import zipfile
 from pathlib import Path
 from typing import List, Optional, Tuple
@@ -57,6 +58,19 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, i64, ctypes.POINTER(ctypes.c_uint8), i64,
     ]
     lib.mhla_zip_close.argtypes = [ctypes.c_void_p]
+    lib.mhla_tar_open.restype = ctypes.c_void_p
+    lib.mhla_tar_open.argtypes = [ctypes.c_char_p]
+    lib.mhla_tar_num_entries.restype = i64
+    lib.mhla_tar_num_entries.argtypes = [ctypes.c_void_p]
+    lib.mhla_tar_entry_name.restype = i64
+    lib.mhla_tar_entry_name.argtypes = [ctypes.c_void_p, i64, ctypes.c_char_p, i64]
+    lib.mhla_tar_entry_size.restype = i64
+    lib.mhla_tar_entry_size.argtypes = [ctypes.c_void_p, i64]
+    lib.mhla_tar_read.restype = i64
+    lib.mhla_tar_read.argtypes = [
+        ctypes.c_void_p, i64, ctypes.POINTER(ctypes.c_uint8), i64,
+    ]
+    lib.mhla_tar_close.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return _LIB
 
@@ -201,6 +215,74 @@ class ZipShard:
             self._handle = None
         if self._zf:
             self._zf.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class TarShard:
+    """Random-access reader over a webdataset-style .tar shard.
+
+    One sequential header scan at open (native ustar/GNU-longname parser
+    when the library is built; stdlib ``tarfile`` otherwise), then O(1)
+    seek+read per member — the wids design (reference
+    ``diffusion/data/wids/wids_tar.py``) without the pickle index sidecar.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._lib = _load()
+        self._handle = None
+        self._tf = None
+        self._members = None
+        if self._lib is not None:
+            self._handle = self._lib.mhla_tar_open(path.encode())
+        if self._handle is None:
+            self._lib = None
+            self._tf = tarfile.open(path, "r")
+            self._members = [m for m in self._tf.getmembers() if m.isreg()]
+        self._names: Optional[List[str]] = None
+
+    def names(self) -> List[str]:
+        if self._names is None:
+            if self._lib:
+                n = self._lib.mhla_tar_num_entries(self._handle)
+                out = []
+                for i in range(n):
+                    buf = ctypes.create_string_buffer(4096)
+                    ln = self._lib.mhla_tar_entry_name(self._handle, i, buf, 4096)
+                    out.append(buf.raw[:ln].decode())
+                self._names = out
+            else:
+                self._names = [m.name for m in self._members]
+        return self._names
+
+    def read(self, index_or_name) -> bytes:
+        if isinstance(index_or_name, str):
+            index_or_name = self.names().index(index_or_name)
+        if self._lib:
+            size = self._lib.mhla_tar_entry_size(self._handle, index_or_name)
+            out = np.empty(max(size, 1), np.uint8)
+            got = self._lib.mhla_tar_read(
+                self._handle,
+                index_or_name,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                size,
+            )
+            if got != size:
+                raise IOError(f"tar read failed for entry {index_or_name}")
+            return out.tobytes()[:size]
+        return self._tf.extractfile(self._members[index_or_name]).read()
+
+    def close(self):
+        if self._lib and self._handle:
+            self._lib.mhla_tar_close(self._handle)
+            self._handle = None
+        if self._tf:
+            self._tf.close()
 
     def __enter__(self):
         return self

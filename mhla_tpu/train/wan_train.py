@@ -167,6 +167,28 @@ def build_model(cfg: WanTrainConfig) -> Tuple[WanModel, WanConfig]:
 def video_batches(cfg: WanTrainConfig, rng: np.random.Generator):
     d = cfg.data
     shape = (cfg.train.batch_size, d.latent_frames, d.latent_height, d.latent_width, d.latent_dim)
+    tars = sorted(Path(d.latent_dir).glob("*.tar")) if d.latent_dir and Path(d.latent_dir).exists() else []
+    if tars:
+        # wids-style tar shards: samples carry .latent.npy / .text_emb.npy
+        # fields; per-process contiguous ranges with mid-epoch resumability
+        from ..data.tar_shards import DistributedRangedSampler, ShardListDataset
+
+        ds = ShardListDataset([str(p) for p in tars])
+        sampler = DistributedRangedSampler(
+            ds,
+            rank=jax.process_index(),
+            world_size=jax.process_count(),
+        )
+        while True:
+            batch_z, batch_c = [], []
+            for idx in sampler:
+                s = ds[idx]
+                batch_z.append(np.asarray(s["latent.npy"], np.float32))
+                batch_c.append(np.asarray(s["text_emb.npy"], np.float32))
+                if len(batch_z) == cfg.train.batch_size:
+                    yield np.stack(batch_z), np.stack(batch_c)
+                    batch_z, batch_c = [], []
+            sampler.set_epoch(sampler.epoch + 1)
     if d.latent_dir and Path(d.latent_dir).exists():
         files = sorted(Path(d.latent_dir).glob("*.npz"))
         assert files, f"no cached latents under {d.latent_dir}"

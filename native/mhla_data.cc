@@ -226,4 +226,129 @@ void mhla_zip_close(void* handle) {
   delete idx;
 }
 
+// ---------------------------------------------------------------------------
+// Tar shard reading (webdataset-style .tar shards; reference vendored the
+// wids tar reader — diffusion/data/wids/wids_tar.py builds a pickle index
+// then seeks. Here: one sequential header scan at open (ustar + GNU
+// longname), then O(1) pread-style member reads.)
+// ---------------------------------------------------------------------------
+
+struct TarEntry {
+  std::string name;
+  uint64_t offset;  // payload offset
+  uint64_t size;
+};
+
+struct TarIndex {
+  FILE* f;
+  std::vector<TarEntry> entries;
+};
+
+static uint64_t tar_octal(const char* p, size_t n) {
+  // GNU base-256 extension: high bit of first byte set
+  if (n && (static_cast<unsigned char>(p[0]) & 0x80)) {
+    uint64_t v = static_cast<unsigned char>(p[0]) & 0x7f;
+    for (size_t i = 1; i < n; ++i)
+      v = (v << 8) | static_cast<unsigned char>(p[i]);
+    return v;
+  }
+  uint64_t v = 0;
+  for (size_t i = 0; i < n && p[i]; ++i) {
+    if (p[i] < '0' || p[i] > '7') continue;
+    v = (v << 3) | static_cast<uint64_t>(p[i] - '0');
+  }
+  return v;
+}
+
+void* mhla_tar_open(const char* path) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  auto* idx = new TarIndex;
+  idx->f = f;
+  char hdr[512];
+  uint64_t pos = 0;
+  std::string longname;
+  while (std::fread(hdr, 1, 512, f) == 512) {
+    pos += 512;
+    bool empty = true;
+    for (int i = 0; i < 512; ++i)
+      if (hdr[i]) { empty = false; break; }
+    if (empty) break;  // end-of-archive marker
+    uint64_t size = tar_octal(hdr + 124, 12);
+    char type = hdr[156];
+    uint64_t padded = (size + 511) & ~uint64_t(511);
+    if (type == 'L') {  // GNU long name: payload is the next header's name
+      std::vector<char> buf(size + 1, 0);
+      if (std::fread(buf.data(), 1, size, f) != size) break;
+      longname.assign(buf.data());
+      std::fseek(f, static_cast<long>(pos + padded), SEEK_SET);
+      pos += padded;
+      continue;
+    }
+    if (type == '0' || type == '\0') {
+      std::string name;
+      if (!longname.empty()) {
+        name.swap(longname);
+      } else {
+        char nbuf[257] = {0};
+        // ustar prefix field extends the 100-byte name
+        if (std::memcmp(hdr + 257, "ustar", 5) == 0 && hdr[345]) {
+          std::memcpy(nbuf, hdr + 345, 155);
+          size_t l = std::strlen(nbuf);
+          nbuf[l] = '/';
+          std::memcpy(nbuf + l + 1, hdr, 100);
+        } else {
+          std::memcpy(nbuf, hdr, 100);
+        }
+        name = nbuf;
+      }
+      idx->entries.push_back({std::move(name), pos, size});
+    } else {
+      longname.clear();
+    }
+    std::fseek(f, static_cast<long>(pos + padded), SEEK_SET);
+    pos += padded;
+  }
+  return idx;
+}
+
+int64_t mhla_tar_num_entries(void* handle) {
+  return static_cast<int64_t>(static_cast<TarIndex*>(handle)->entries.size());
+}
+
+int64_t mhla_tar_entry_name(void* handle, int64_t i, char* buf, int64_t n) {
+  auto* idx = static_cast<TarIndex*>(handle);
+  if (i < 0 || i >= (int64_t)idx->entries.size()) return -1;
+  const std::string& s = idx->entries[i].name;
+  int64_t len = static_cast<int64_t>(s.size());
+  if (buf && n > 0) {
+    int64_t c = len < n - 1 ? len : n - 1;
+    std::memcpy(buf, s.data(), c);
+    buf[c] = 0;
+  }
+  return len;
+}
+
+int64_t mhla_tar_entry_size(void* handle, int64_t i) {
+  auto* idx = static_cast<TarIndex*>(handle);
+  if (i < 0 || i >= (int64_t)idx->entries.size()) return -1;
+  return static_cast<int64_t>(idx->entries[i].size);
+}
+
+int64_t mhla_tar_read(void* handle, int64_t i, uint8_t* out, int64_t out_cap) {
+  auto* idx = static_cast<TarIndex*>(handle);
+  if (i < 0 || i >= (int64_t)idx->entries.size()) return -1;
+  const TarEntry& e = idx->entries[i];
+  if (out_cap < (int64_t)e.size) return -1;
+  std::fseek(idx->f, static_cast<long>(e.offset), SEEK_SET);
+  if (std::fread(out, 1, e.size, idx->f) != e.size) return -1;
+  return static_cast<int64_t>(e.size);
+}
+
+void mhla_tar_close(void* handle) {
+  auto* idx = static_cast<TarIndex*>(handle);
+  std::fclose(idx->f);
+  delete idx;
+}
+
 }  // extern "C"
