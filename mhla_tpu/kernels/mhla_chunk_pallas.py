@@ -238,7 +238,7 @@ def _mix_kernel(bands, lower, m_ref, s_ref, o_ref):
         o_ref[0, lo:hi] = o.astype(o_ref.dtype)
 
 
-def _mix_pallas(m_tri, states4, lower: bool):
+def _mix_pallas(m_tri, states4, lower: bool, bands=None):
     b, n, hdk, dv = states4.shape
     nbytes = states4.dtype.itemsize
     rtile = hdk
@@ -246,7 +246,8 @@ def _mix_pallas(m_tri, states4, lower: bool):
         if hdk % cand == 0 and 4 * n * cand * dv * nbytes + n * n * nbytes <= _VMEM_BUDGET_ST:
             rtile = cand
             break
-    bands = _mix_bands(n, lower)
+    if bands is None:
+        bands = _mix_bands(n, lower)
     flops = (
         2 * sum((hi - lo) * (hi if lower else n - lo) for lo, hi in bands)
         * hdk * dv * b

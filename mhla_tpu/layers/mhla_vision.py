@@ -175,6 +175,20 @@ def rearrange_from_blocks_3d(
     return x.reshape(b, f * hh * ww, *tail)
 
 
+class _HeadNormScale(nn.Module):
+    """Bare per-head norm weight — same param tree as an ``RMSNorm`` module
+    of the same name (params[name]["weight"] of shape [Dh]), so the fused
+    flat path and the module path load identical checkpoints."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "weight", nn.initializers.ones, (self.features,), jnp.float32
+        )
+
+
 class MHLA3D(nn.Module):
     """Video MHLA over an (F, H, W) token grid with 3D block mixing."""
 
@@ -233,54 +247,94 @@ class MHLA3D(nn.Module):
         q = jax.nn.relu(q) + jnp.asarray(self.eps, island_dt)
         k = jax.nn.relu(k) + jnp.asarray(self.eps, island_dt)
 
-        q = q.reshape(b, t, h, d)
-        k = k.reshape(b, t, h, d)
-        v = v.reshape(b, t, h, d)
-
-        if self.without_rope:
-            q_rope, k_rope = q, k
-        else:
-            angles = jnp.asarray(
-                rope_angles_3d(grid, d, self.rope_theta, self.rope_max_pos),
-                jnp.float32,
-            )
-            q_rope = apply_rotary_3d_halves(q, angles)
-            k_rope = apply_rotary_3d_halves(k, angles)
-
-        # one block rearrange over the concatenated streams (one 6D
-        # transpose instead of 3-5; reference does the same 5-way concat,
-        # mhla_utils.py:317-326)
-        streams = [q_rope, k_rope, v]
-        if self.normalize_out:
-            streams += [q, k]  # no-RoPE normalizer stream
-        packed = rearrange_to_blocks_3d(
-            jnp.concatenate(streams, axis=-1), grid, self.blocks_layout
-        )
-        parts = jnp.split(packed, len(streams), axis=-1)
-        qb, kb, vb = parts[0], parts[1], parts[2]
-        q_nope = parts[3] if self.normalize_out else None
-        k_nope = parts[4] if self.normalize_out else None
-
         m = BlockMixing(
             blocks_layout=self.blocks_layout,
             transform=self.transform,
             name="block_attn",
         )()
-        out = mhla_blockwise_mh(
-            qb, kb, vb, m,
-            q_nope=q_nope, k_nope=k_nope,
-            normalize=self.normalize_out, eps=self.eps,
-            compute_dtype=self.attn_compute_dtype,
-        )
-        out = rearrange_from_blocks_3d(
-            out.reshape(*out.shape[:3], self.dim), grid, self.blocks_layout
-        )
-        out = out.astype(x.dtype)
 
-        # per-head RMSNorm on the output (reference g_norm over dim_head)
-        out = RMSNorm(name="g_norm", eps=self.eps)(out.reshape(b, t, h, d)).reshape(
-            b, t, self.dim
+        from ..kernels.mhla_block_pallas import (
+            blockify,
+            mhla_blockwise_fused,
+            rms_norm_heads_flat,
+            rope_tables_flat,
+            unblockify,
         )
+        from ..kernels.mhla_chunk_pallas import _use_pallas
+
+        fused = _use_pallas(8, d, d)
+
+        if fused:
+            # head-flat fast path: RoPE + block rearrange fused into one
+            # Pallas pass per stream; no [B,T,H,D] tile relayout anywhere
+            tables = (
+                None
+                if self.without_rope
+                else rope_tables_flat(
+                    grid, d, h, island_dt, self.rope_theta, self.rope_max_pos
+                )
+            )
+            glt = (grid, self.blocks_layout, h)
+            qb = blockify(q, tables, *glt)
+            kb = blockify(k, tables, *glt)
+            vb = blockify(v, None, *glt)
+            q_nope = blockify(q, None, *glt) if self.normalize_out else None
+            k_nope = blockify(k, None, *glt) if self.normalize_out else None
+            out = mhla_blockwise_fused(
+                qb, kb, vb, m,
+                num_heads=h,
+                q_nope4=q_nope, k_nope4=k_nope,
+                normalize=self.normalize_out, eps=self.eps,
+                compute_dtype=self.attn_compute_dtype,
+            )
+            out = unblockify(out, None, *glt).astype(x.dtype)
+            # per-head RMSNorm (reference g_norm over dim_head) without the
+            # 4D view — same param tree as the RMSNorm module path below
+            w = _HeadNormScale(d, name="g_norm")()
+            out = rms_norm_heads_flat(out, w, h, self.eps)
+        else:
+            q5 = q.reshape(b, t, h, d)
+            k5 = k.reshape(b, t, h, d)
+            v5 = v.reshape(b, t, h, d)
+            if self.without_rope:
+                q_rope, k_rope = q5, k5
+            else:
+                angles = jnp.asarray(
+                    rope_angles_3d(grid, d, self.rope_theta, self.rope_max_pos),
+                    jnp.float32,
+                )
+                q_rope = apply_rotary_3d_halves(q5, angles)
+                k_rope = apply_rotary_3d_halves(k5, angles)
+
+            # one block rearrange over the concatenated streams (one 6D
+            # transpose instead of 3-5; reference does the same 5-way
+            # concat, mhla_utils.py:317-326)
+            streams = [q_rope, k_rope, v5]
+            if self.normalize_out:
+                streams += [q5, k5]  # no-RoPE normalizer stream
+            packed = rearrange_to_blocks_3d(
+                jnp.concatenate(streams, axis=-1), grid, self.blocks_layout
+            )
+            parts = jnp.split(packed, len(streams), axis=-1)
+            qb, kb, vb = parts[0], parts[1], parts[2]
+            q_nope = parts[3] if self.normalize_out else None
+            k_nope = parts[4] if self.normalize_out else None
+
+            out = mhla_blockwise_mh(
+                qb, kb, vb, m,
+                q_nope=q_nope, k_nope=k_nope,
+                normalize=self.normalize_out, eps=self.eps,
+                compute_dtype=self.attn_compute_dtype,
+            )
+            out = rearrange_from_blocks_3d(
+                out.reshape(*out.shape[:3], self.dim), grid, self.blocks_layout
+            )
+            out = out.astype(x.dtype)
+
+            # per-head RMSNorm on the output (reference g_norm over dim_head)
+            out = RMSNorm(name="g_norm", eps=self.eps)(
+                out.reshape(b, t, h, d)
+            ).reshape(b, t, self.dim)
         if self.is_gated:
             g = jax.nn.silu(dense("g")(x))
             out = out * g

@@ -97,3 +97,118 @@ class TestPallasInterpret:
         )(q, k, v, m)
         for a, b_, name in zip(g_ref, g_pal, "qkvm"):
             assert_close(f"pallas grad {name}", a, b_, 1e-4)
+
+
+class TestBlockwiseFusedInterpret:
+    """Fused blockwise (vision) kernels vs the einsum op, interpret mode."""
+
+    @pytest.fixture(autouse=True)
+    def _force_interpret(self):
+        from mhla_tpu.kernels import mhla_chunk_pallas as mod
+
+        mod.FORCE_INTERPRET = True
+        yield
+        mod.FORCE_INTERPRET = False
+
+    @pytest.mark.parametrize("normalize", [False, True])
+    def test_matches_einsum_op(self, key, normalize):
+        from mhla_tpu.kernels.mhla_block_pallas import mhla_blockwise_fused
+        from mhla_tpu.ops.mhla_blockwise import mhla_blockwise_mh
+
+        b, n, c, h, d = 2, 6, 24, 2, 128  # c deliberately not 8-multiple
+        kq, kk, kv, km = jax.random.split(key, 4)
+        q = jax.nn.relu(jax.random.normal(kq, (b, n, c, h * d))) + 1e-6
+        k = jax.nn.relu(jax.random.normal(kk, (b, n, c, h * d))) + 1e-6
+        v = jax.random.normal(kv, (b, n, c, h * d))
+        m = jax.nn.softmax(jax.random.normal(km, (n, n)), axis=-1)
+        ref = mhla_blockwise_mh(
+            q.reshape(b, n, c, h, d),
+            k.reshape(b, n, c, h, d),
+            v.reshape(b, n, c, h, d),
+            m, normalize=normalize,
+        ).reshape(b, n, c, h * d)
+        out = mhla_blockwise_fused(q, k, v, m, num_heads=h, normalize=normalize)
+        assert_close("blockwise fused fwd", ref, out, 1e-5)
+
+    def test_gradients_match_einsum_op(self, key):
+        from mhla_tpu.kernels.mhla_block_pallas import mhla_blockwise_fused
+        from mhla_tpu.ops.mhla_blockwise import mhla_blockwise_mh
+
+        b, n, c, h, d = 1, 4, 16, 2, 128
+        kq, kk, kv, km = jax.random.split(key, 4)
+        q = jax.nn.relu(jax.random.normal(kq, (b, n, c, h * d))) + 1e-6
+        k = jax.nn.relu(jax.random.normal(kk, (b, n, c, h * d))) + 1e-6
+        v = jax.random.normal(kv, (b, n, c, h * d))
+        m = jax.nn.softmax(jax.random.normal(km, (n, n)), axis=-1)
+
+        def loss_fused(q, k, v, m):
+            o = mhla_blockwise_fused(q, k, v, m, num_heads=h, normalize=False)
+            return jnp.sum(jnp.cos(o))
+
+        def loss_ref(q, k, v, m):
+            o = mhla_blockwise_mh(
+                q.reshape(b, n, c, h, d),
+                k.reshape(b, n, c, h, d),
+                v.reshape(b, n, c, h, d),
+                m, normalize=False,
+            )
+            return jnp.sum(jnp.cos(o))
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, m)
+        g_out = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, m)
+        for a, b_, name in zip(g_ref, g_out, "qkvm"):
+            assert_close(f"blockwise fused grad {name}", a, b_, 1e-4)
+
+
+class TestMHLA3DFusedPath:
+    """Full MHLA3D layer: fused head-flat Pallas path (interpret) vs the
+    einsum/rearrange fallback — same params, same outputs."""
+
+    @pytest.mark.parametrize("normalize_out", [False, True])
+    def test_paths_agree(self, key, normalize_out):
+        from mhla_tpu.kernels import mhla_chunk_pallas as mod
+        from mhla_tpu.layers import MHLA3D
+
+        dim, h = 256, 2  # head dim 128 -> fused path eligible
+        grid = (2, 4, 4)
+        t = grid[0] * grid[1] * grid[2]
+        layer = MHLA3D(
+            dim=dim, num_heads=h, blocks_layout=(2, 2, 2),
+            normalize_out=normalize_out, is_gated=True,
+        )
+        x = jax.random.normal(key, (1, t, dim))
+        params = layer.init(jax.random.PRNGKey(1), x, grid)  # fallback path
+        ref = layer.apply(params, x, grid)
+        mod.FORCE_INTERPRET = True
+        try:
+            out = layer.apply(params, x, grid)  # fused path (interpret)
+        finally:
+            mod.FORCE_INTERPRET = False
+        assert_close(f"mhla3d fused(norm={normalize_out})", ref, out, 1e-5)
+
+    def test_fused_path_gradients(self, key):
+        from mhla_tpu.kernels import mhla_chunk_pallas as mod
+        from mhla_tpu.layers import MHLA3D
+
+        dim, h = 256, 2
+        grid = (2, 4, 4)
+        t = grid[0] * grid[1] * grid[2]
+        layer = MHLA3D(
+            dim=dim, num_heads=h, blocks_layout=(2, 2, 2), normalize_out=False
+        )
+        x = jax.random.normal(key, (1, t, dim))
+        params = layer.init(jax.random.PRNGKey(1), x, grid)
+
+        def loss(p, xx):
+            return jnp.sum(jnp.cos(layer.apply(p, xx, grid)))
+
+        g_ref = jax.grad(loss, argnums=(0, 1))(params, x)
+        mod.FORCE_INTERPRET = True
+        try:
+            g_out = jax.grad(loss, argnums=(0, 1))(params, x)
+        finally:
+            mod.FORCE_INTERPRET = False
+        ref_leaves = jax.tree.leaves(g_ref)
+        out_leaves = jax.tree.leaves(g_out)
+        for i, (a, b_) in enumerate(zip(ref_leaves, out_leaves)):
+            assert_close(f"mhla3d fused grad leaf {i}", a, b_, 1e-4)
