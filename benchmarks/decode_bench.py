@@ -59,17 +59,24 @@ def main():
         return toks, states
 
     tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
-    toks, states = decode_n(params, tok, states, args.new)  # compile
+    n1, n2 = args.new, 3 * args.new
+    toks, states = decode_n(params, tok, states, n1)  # compile short
     jax.block_until_ready(toks)
-    # best of 3: the first post-compile execution through the TPU relay can
-    # carry a large one-time cost unrelated to steady-state decode
-    best = float("inf")
-    for _ in range(3):
+    toks, states = decode_n(params, tok, states, n2)  # compile long
+    jax.block_until_ready(toks)
+
+    # steady-state per-token latency: difference two run lengths (the fixed
+    # per-dispatch sync through the TPU relay cancels), best of 3
+    def timed(n):
+        nonlocal states
         t0 = time.perf_counter()
-        toks, states = decode_n(params, tok, states, args.new)
+        toks, states = decode_n(params, tok, states, n)
         float(jnp.sum(toks.astype(jnp.float32)))  # host barrier
-        best = min(best, time.perf_counter() - t0)
-    dt = best / args.new
+        return time.perf_counter() - t0
+
+    t1 = min(timed(n1) for _ in range(3))
+    t2 = min(timed(n2) for _ in range(3))
+    dt = (t2 - t1) / (n2 - n1)
 
     tok_s = args.batch / dt
     print(

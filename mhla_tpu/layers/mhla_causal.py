@@ -123,9 +123,21 @@ class MHLACausal(nn.Module):
         dense = lambda n, name: nn.Dense(  # noqa: E731
             n, use_bias=False, dtype=self.dtype, name=name
         )
-        q = dense(self.key_dim, "q_proj")(hidden_states)
-        k = dense(self.key_dim // groups, "k_proj")(hidden_states)
-        v = dense(self.value_dim // groups, "v_proj")(hidden_states)
+        # all input projections as ONE concatenated matmul (batch-1 decode
+        # is dispatch-bound; see layers/fused_dense.py) — the param tree is
+        # identical to separate nn.Dense modules
+        from .fused_dense import fused_projections
+
+        proj_specs = [
+            ("q_proj", self.key_dim),
+            ("k_proj", self.key_dim // groups),
+            ("v_proj", self.value_dim // groups),
+        ]
+        if self.use_output_gate:
+            proj_specs.append(("g_proj", self.value_dim))
+        projs = fused_projections(hidden_states, proj_specs, self.dtype)
+        q, k, v = projs[0], projs[1], projs[2]
+        g_raw = projs[3] if self.use_output_gate else None
 
         conv_q = conv_k = conv_v = None
         if self.use_short_conv:
@@ -203,8 +215,7 @@ class MHLACausal(nn.Module):
             )
 
         if self.use_output_gate:
-            g = dense(self.value_dim, "g_proj")(hidden_states)
-            g = g.reshape(b, t, self.num_heads, head_v)
+            g = g_raw.reshape(b, t, self.num_heads, head_v)
             o = GatedRMSNorm(
                 eps=self.norm_eps,
                 elementwise_affine=self.elementwise_affine,

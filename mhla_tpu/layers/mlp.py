@@ -35,12 +35,17 @@ class GatedMLP(nn.Module):
         inter = self.intermediate_size or default_intermediate_size(
             self.hidden_size, self.hidden_ratio
         )
-        dense = lambda n, name: nn.Dense(  # noqa: E731
-            n, use_bias=False, dtype=self.dtype, name=name
+        # gate+up as one concatenated matmul (see layers/fused_dense.py);
+        # param tree identical to separate nn.Dense modules
+        from .fused_dense import fused_projections
+
+        gate, up = fused_projections(
+            x, [("gate_proj", inter), ("up_proj", inter)], self.dtype
         )
-        gate = dense(inter, "gate_proj")(x)
-        up = dense(inter, "up_proj")(x)
-        return dense(self.hidden_size, "down_proj")(swiglu(gate, up))
+        return nn.Dense(
+            self.hidden_size, use_bias=False, dtype=self.dtype,
+            name="down_proj",
+        )(swiglu(gate, up))
 
 
 class MLP(nn.Module):
