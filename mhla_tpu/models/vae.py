@@ -121,6 +121,9 @@ def _spatial(x, fn):
 class Resample(nn.Module):
     dim: int
     mode: str  # upsample2d | upsample3d | downsample2d | downsample3d
+    # upsample conv output features; default dim // 2 (Wan2.1). Wan2.2
+    # resamples keep the full dim.
+    up_features: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -144,9 +147,10 @@ class Resample(nn.Module):
             def up(frames):
                 bt, h, w, c = frames.shape
                 frames = jax.image.resize(frames, (bt, 2 * h, 2 * w, c), "nearest")
-                return nn.Conv(self.dim // 2, (3, 3), padding="SAME", name="conv")(
-                    frames
-                )
+                return nn.Conv(
+                    self.up_features or self.dim // 2, (3, 3), padding="SAME",
+                    name="conv",
+                )(frames)
 
             return _spatial(x, up)
 
