@@ -49,31 +49,69 @@ def radial_window(dist: np.ndarray, hw: int) -> np.ndarray:
     return np.maximum(hw >> octave, 0)
 
 
+def _radial_block(
+    qi: np.ndarray, ki: np.ndarray, seq_len: int, num_frames: int
+) -> np.ndarray:
+    """Mask values for the (query rows qi) x (key cols ki) tile. Padding
+    tokens (index >= seq_len) attend only to themselves — fully masked
+    query rows would make the softmax degenerate (outputs are sliced off),
+    matching the reference's padded flex mask (``model.py:2063-2069``)."""
+    hw = seq_len // num_frames
+    qc = np.minimum(qi, seq_len - 1)
+    kc = np.minimum(ki, seq_len - 1)
+    fq, sq = qc // hw, qc % hw
+    fk, sk = kc // hw, kc % hw
+    dist = np.abs(fq[:, None] - fk[None, :])
+    win = radial_window(dist, hw)
+    mask = np.abs(sq[:, None] - sk[None, :]) < win
+    mask |= dist <= 1
+    real_q = qi < seq_len
+    real_k = ki < seq_len
+    mask &= real_q[:, None] & real_k[None, :]
+    mask |= (~real_q[:, None]) & (qi[:, None] == ki[None, :])
+    return mask
+
+
+class RadialMask(_splash_mask.Mask):
+    """Lazy radial mask for the splash kernel: tiles are computed on
+    demand during MaskInfo construction, so the full [T, T] boolean array
+    (~1 GB, with multi-GB int temporaries, at 31.5k tokens) never
+    materializes."""
+
+    def __init__(self, seq_len: int, num_frames: int, pad_to: int):
+        self.seq_len = seq_len
+        self.num_frames = num_frames
+        self.pad_to = pad_to
+
+    @property
+    def shape(self):
+        return (self.pad_to, self.pad_to)
+
+    def __getitem__(self, idx) -> np.ndarray:
+        qs, ks = idx
+        qi = np.arange(self.pad_to)[qs]
+        ki = np.arange(self.pad_to)[ks]
+        return _radial_block(qi, ki, self.seq_len, self.num_frames)
+
+    def __eq__(self, other):
+        if not isinstance(other, RadialMask):
+            return NotImplemented
+        return (self.seq_len, self.num_frames, self.pad_to) == (
+            other.seq_len, other.num_frames, other.pad_to
+        )
+
+    def __hash__(self):
+        return hash((type(self), self.seq_len, self.num_frames, self.pad_to))
+
+
 def radial_mask_dense(
     seq_len: int, num_frames: int, pad_to: Optional[int] = None
 ) -> np.ndarray:
-    """Dense boolean [T, T] radial mask (host-side; for the XLA fallback,
-    tests, and as the splash kernel's mask source). ``seq_len`` counts real
-    tokens; ``pad_to`` appends all-False rows/cols (padding tokens attend
-    nowhere and are attended by nothing, matching the reference's padded
-    flex mask, ``model.py:2063-2069``)."""
-    hw = seq_len // num_frames
-    idx = np.arange(seq_len)
-    f = idx // hw
-    s = idx % hw
-    dist = np.abs(f[:, None] - f[None, :])
-    win = radial_window(dist, hw)
-    mask = np.abs(s[:, None] - s[None, :]) < win
-    mask |= dist <= 1
-    if pad_to is not None and pad_to > seq_len:
-        out = np.zeros((pad_to, pad_to), dtype=np.bool_)
-        out[:seq_len, :seq_len] = mask
-        # fully masked query rows make softmax degenerate; let pad tokens
-        # see themselves so the kernel stays finite (outputs are sliced off)
-        pr = np.arange(seq_len, pad_to)
-        out[pr, pr] = True
-        return out
-    return mask.astype(np.bool_)
+    """Dense boolean [T, T] radial mask (host-side; for the XLA fallback
+    and tests — use :class:`RadialMask` at production scale)."""
+    n = pad_to if pad_to is not None and pad_to > seq_len else seq_len
+    idx = np.arange(n)
+    return _radial_block(idx, idx, seq_len, num_frames)
 
 
 # Tests flip this to exercise the splash kernel in interpret mode on CPU
@@ -90,10 +128,8 @@ def _build_splash_kernel(
     pad_to: int,
     interpret: bool,
 ):
-    mask = radial_mask_dense(seq_len, num_frames, pad_to=pad_to)
-    mh = _splash_mask.MultiHeadMask(
-        [_splash_mask.NumpyMask(mask) for _ in range(num_heads)]
-    )
+    mask = RadialMask(seq_len, num_frames, pad_to)
+    mh = _splash_mask.MultiHeadMask([mask for _ in range(num_heads)])
     return _splash_kernel.make_splash_mha_single_device(mh, interpret=interpret)
 
 
