@@ -21,7 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--seq", type=int, default=2048)
     ap.add_argument("--layers", type=int, default=24)
     ap.add_argument("--iters", type=int, default=10)
@@ -43,11 +43,11 @@ def main():
     tx = optax.adamw(3e-4, weight_decay=0.01)
     opt_state = jax.jit(tx.init)(params)
 
-    from mhla_tpu.models import cross_entropy_loss
+    from mhla_tpu.models.gla_lm import fused_lm_loss
 
     def loss_fn(p, batch):
-        logits, _ = model.apply(p, batch)
-        return cross_entropy_loss(logits, batch)
+        # fused linear+CE: logits never materialize (534 MB at this shape)
+        return fused_lm_loss(model, p, batch)
 
     @jax.jit
     def step(p, o, batch):
