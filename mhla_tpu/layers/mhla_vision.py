@@ -215,8 +215,16 @@ class MHLA3D(nn.Module):
     attn_compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, grid: Tuple[int, int, int]) -> jax.Array:
-        """x: [B, F*H*W, dim]; grid: static (F, H, W)."""
+    def __call__(
+        self,
+        x: jax.Array,
+        grid: Tuple[int, int, int],
+        rope_tables: Optional[Tuple[jax.Array, jax.Array]] = None,
+    ) -> jax.Array:
+        """x: [B, F*H*W, dim]; grid: static (F, H, W). ``rope_tables``:
+        optional precomputed (cos_flat, sin_signed_flat) from
+        ``rope_tables_flat`` — building them costs two [T, H*D]-sized
+        writes, so callers with many layers (WanModel) hoist them."""
         b, t, _ = x.shape
         h = self.num_heads
         d = self.dim // h
@@ -267,13 +275,14 @@ class MHLA3D(nn.Module):
         if fused:
             # head-flat fast path: RoPE + block rearrange fused into one
             # Pallas pass per stream; no [B,T,H,D] tile relayout anywhere
-            tables = (
-                None
-                if self.without_rope
-                else rope_tables_flat(
+            if self.without_rope:
+                tables = None
+            elif rope_tables is not None:
+                tables = tuple(tb.astype(island_dt) for tb in rope_tables)
+            else:
+                tables = rope_tables_flat(
                     grid, d, h, island_dt, self.rope_theta, self.rope_max_pos
                 )
-            )
             glt = (grid, self.blocks_layout, h)
             qb = blockify(q, tables, *glt)
             kb = blockify(k, tables, *glt)

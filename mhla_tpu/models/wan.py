@@ -234,6 +234,7 @@ class WanBlock(nn.Module):
         grid: Tuple[int, int, int],
         use_dense: Optional[jax.Array] = None,  # sparse layers' t>=850 guard
         capture: bool = False,  # functional intermediates (remat-safe)
+        rope_tables: Optional[Tuple[jax.Array, jax.Array]] = None,
     ):
         cfg = self.cfg
         modulation = self.param(
@@ -262,7 +263,7 @@ class WanBlock(nn.Module):
                 dtype=cfg.dtype,
                 attn_compute_dtype=cfg.attn_compute_dtype,
                 name="self_attn",
-            )(h, grid)
+            )(h, grid, rope_tables)
         elif attn_type == "linear":
             h = WanLinearAttention(
                 dim=cfg.dim,
@@ -391,13 +392,27 @@ class WanModel(nn.Module):
         if cfg.sparse_attn_idx is not None and cfg.sparse_dense_from_t is not None:
             use_dense = jnp.max(t) >= cfg.sparse_dense_from_t
 
+        # hoist the MHLA3D rope tables: identical across layers, and (under
+        # remat) rebuilt per block otherwise — two [T, dim] writes each
+        rope_tables = None
+        if cfg.linear_attn_idx and cfg.attn_type == "mhla_uni" and not cfg.without_rope:
+            from ..kernels.mhla_block_pallas import rope_tables_flat
+            from ..kernels.mhla_chunk_pallas import _use_pallas
+
+            dh = cfg.dim // cfg.num_heads
+            if _use_pallas(8, dh, dh):
+                rope_tables = rope_tables_flat(
+                    grid, dh, cfg.num_heads,
+                    cfg.attn_compute_dtype or jnp.float32,
+                )
+
         block_cls = (
             nn.remat(WanBlock, static_argnums=(4, 6)) if cfg.remat else WanBlock
         )
         caps = []
         for i in range(cfg.num_layers):
             h = block_cls(cfg, i, name=f"blocks_{i}")(
-                h, e0, ctx, grid, use_dense, capture
+                h, e0, ctx, grid, use_dense, capture, rope_tables
             )
             if capture:
                 h, cap = h

@@ -71,6 +71,10 @@ class WanModelCfg:
         i for i in range(30) if i % 3 != 0
     )  # hybrid 2/3 schedule (reference yaml:34)
     self_attn_type: str = "mhla_uni"
+    # radial block-sparse schedule for softmax layers (splash kernel);
+    # training always runs the sparse mask — the reference's t>=850 dense
+    # fallback is inference-only (``model.py:2554-2556``)
+    sparse_attn_idx: Optional[Tuple[int, ...]] = None
     rope_after: bool = True
     without_rope: bool = False
     norm_output: bool = False
@@ -147,6 +151,8 @@ def build_model(cfg: WanTrainConfig) -> Tuple[WanModel, WanConfig]:
         **size_overrides,
         linear_attn_idx=cfg.model.linear_attn_idx,
         attn_type=cfg.model.self_attn_type,
+        sparse_attn_idx=cfg.model.sparse_attn_idx,
+        sparse_dense_from_t=None,  # guard is inference-only
         rope_after=cfg.model.rope_after,
         without_rope=cfg.model.without_rope,
         normalize_out=cfg.model.norm_output,
