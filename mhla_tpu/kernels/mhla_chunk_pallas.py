@@ -307,6 +307,49 @@ def _mix_states_fwd(m_far, states4):
     return mix_states(m_far, states4), (m_far, states4)
 
 
+def _dm_kernel(bands, do_ref, s_ref, dm_ref):
+    """Accumulate dm[i, j] = <dout[i], states[j]> over the feature grid
+    axis, banded to the populated lower-triangular region."""
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        dm_ref[...] = jnp.zeros_like(dm_ref)
+
+    n, rt, dv = do_ref.shape[1], do_ref.shape[2], do_ref.shape[3]
+    do2 = do_ref[0].reshape(n, rt * dv)  # minor-dim merge: free in VMEM
+    s2 = s_ref[0].reshape(n, rt * dv)
+    for lo, hi in bands:
+        dm_ref[lo:hi, :hi] += jax.lax.dot_general(
+            do2[lo:hi], s2[:hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def _dm_pallas(dout, states4, bands):
+    b, n, hdk, dv = states4.shape
+    nbytes = states4.dtype.itemsize
+    rtile = hdk
+    for cand in (16, 8, 4, 2, 1):
+        if hdk % cand == 0 and 4 * n * cand * dv * nbytes + 4 * n * n <= _VMEM_BUDGET_ST:
+            rtile = cand
+            break
+    return pl.pallas_call(
+        functools.partial(_dm_kernel, bands),
+        grid=(b, hdk // rtile),
+        in_specs=[
+            pl.BlockSpec((1, n, rtile, dv), lambda bi, fi: (bi, 0, fi, 0)),
+            pl.BlockSpec((1, n, rtile, dv), lambda bi, fi: (bi, 0, fi, 0)),
+        ],
+        out_specs=pl.BlockSpec((n, n), lambda bi, fi: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sum((hi - lo) * hi for lo, hi in bands) * hdk * dv * b,
+            bytes_accessed=2 * states4.size * nbytes,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(dout, states4)
+
+
 def _mix_states_bwd(res, dout):
     m_far, states4 = res
     dout = dout.astype(states4.dtype)
@@ -314,13 +357,18 @@ def _mix_states_bwd(res, dout):
         # dS = m_far^T @ dout: the transpose is upper-triangular, same
         # banded kernel with mirrored column ranges
         dstates = _mix_pallas(m_far.T, dout, lower=False)
+        # dm = <dout_i, states_j>, accumulated over feature tiles in VMEM
+        # and banded to the populated lower-triangular region (the outer
+        # m_far mask discards the rest anyway)
+        dm = _dm_pallas(dout, states4, _mix_bands(m_far.shape[0], True))
+        dm = dm.astype(m_far.dtype)
     else:
         dstates = jnp.einsum(
             "ji,bjrd->bird", m_far, dout, preferred_element_type=jnp.float32
         ).astype(states4.dtype)
-    dm = jnp.einsum(
-        "bird,bjrd->ij", dout, states4, preferred_element_type=jnp.float32
-    ).astype(m_far.dtype)
+        dm = jnp.einsum(
+            "bird,bjrd->ij", dout, states4, preferred_element_type=jnp.float32
+        ).astype(m_far.dtype)
     return dm, dstates
 
 
