@@ -33,8 +33,13 @@ def main():
 
     from mhla_tpu.models import MHLAForCausalLM, MHLALMConfig
 
-    cfg = MHLALMConfig(dtype=jnp.bfloat16, num_hidden_layers=args.layers)
-    model = MHLAForCausalLM(cfg)
+    cfg = MHLALMConfig(
+        dtype=jnp.bfloat16,
+        num_hidden_layers=args.layers,
+        max_position_embeddings=max(2048, args.seq),
+    )
+    # activation memory: 24 layers x 32k ctx needs per-block remat
+    model = MHLAForCausalLM(cfg, remat=args.seq >= 8192)
     rng = jax.random.PRNGKey(0)
     ids = jax.random.randint(rng, (args.batch, args.seq), 0, cfg.vocab_size)
     params = jax.jit(model.init)(rng, ids[:1, :256])  # small init trace
