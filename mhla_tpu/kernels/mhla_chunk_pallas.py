@@ -51,7 +51,6 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # Budgets for picking tile sizes (bytes). The Pallas pipeline double-buffers
 # every in/out block; scratch ([S, S] fp32 score/weight tiles) is single.

@@ -28,7 +28,6 @@ total-edge count the reference names the mask after.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
