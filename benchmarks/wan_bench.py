@@ -61,6 +61,20 @@ def main():
         "mhla": dict(linear_attn_idx=tuple(range(30)), attn_type="mhla_uni"),
         "linear": dict(linear_attn_idx=tuple(range(30)), attn_type="linear"),
         "softmax": dict(linear_attn_idx=(), attn_type="flash"),
+        # radial n-log-n block-sparse splash attention on every layer
+        # (inference guard disabled so the sparse path is what's measured)
+        "sparse": dict(
+            linear_attn_idx=(),
+            sparse_attn_idx=tuple(range(30)),
+            sparse_dense_from_t=None,
+        ),
+        # sparse softmax on the softmax slots of the hybrid schedule
+        "hybrid_sparse": dict(
+            linear_attn_idx=hybrid_idx,
+            attn_type="mhla_uni",
+            sparse_attn_idx=tuple(i for i in range(30) if i % 3 == 0),
+            sparse_dense_from_t=None,
+        ),
     }
 
     z = jax.random.normal(

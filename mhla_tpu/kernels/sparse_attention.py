@@ -159,7 +159,10 @@ def sparse_flash_attention(
         return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
     tp = _round_up(t, 128)
-    kernel = _build_splash_kernel(t, num_frames, h, d, tp, interpret)
+    # build OUTSIDE any active trace: the kernel object carries mask-info
+    # arrays, and materializing those under jit would cache leaked tracers
+    with jax.ensure_compile_time_eval():
+        kernel = _build_splash_kernel(t, num_frames, h, d, tp, interpret)
     qs = (q * scale).swapaxes(1, 2)  # [B, H, T, D]
     ks = k.swapaxes(1, 2)
     vs = v.swapaxes(1, 2)

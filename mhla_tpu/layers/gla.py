@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import get_feature_map
-from ..ops.gla_chunk import gla_chunk, gla_recurrent
+from ..kernels.gla_chunk_pallas import gla_chunk_fused as gla_chunk
+from ..ops.gla_chunk import gla_recurrent
 from .norms import GatedRMSNorm, RMSNorm
 
 

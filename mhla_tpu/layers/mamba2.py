@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.gla_chunk import gla_chunk, gla_recurrent
+from ..kernels.gla_chunk_pallas import gla_chunk_fused as gla_chunk
+from ..ops.gla_chunk import gla_recurrent
 from .gated_deltanet import _a_log_init, _dt_bias_init
 from .norms import GatedRMSNorm
 from .short_conv import ShortConvolution

@@ -212,3 +212,58 @@ class TestMHLA3DFusedPath:
         out_leaves = jax.tree.leaves(g_out)
         for i, (a, b_) in enumerate(zip(ref_leaves, out_leaves)):
             assert_close(f"mhla3d fused grad leaf {i}", a, b_, 1e-4)
+
+
+class TestGLAFused:
+    """Fused GLA (MHLA kernels + decay recurrence) vs the jnp op."""
+
+    @pytest.fixture(autouse=True)
+    def _force_interpret(self):
+        from mhla_tpu.kernels import mhla_chunk_pallas as mod
+
+        mod.FORCE_INTERPRET = True
+        yield
+        mod.FORCE_INTERPRET = False
+
+    def test_forward_matches_op(self, key):
+        from mhla_tpu.kernels.gla_chunk_pallas import gla_chunk_fused
+        from mhla_tpu.ops.gla_chunk import gla_chunk
+
+        b, t, h, d = 2, 700, 2, 128  # odd length: chunk+supertile padding
+        kq, kk, kv, kg = jax.random.split(key, 4)
+        q = jax.nn.relu(jax.random.normal(kq, (b, t, h, d)))
+        k = jax.nn.relu(jax.random.normal(kk, (b, t, h, d)))
+        v = jax.random.normal(kv, (b, t, h, d))
+        gk = -jax.nn.softplus(jax.random.normal(kg, (b, t, h, d))) * 0.1
+        o_ref, s_ref = gla_chunk(q, k, v, gk, output_final_state=True)
+        o_out, s_out = gla_chunk_fused(q, k, v, gk, output_final_state=True)
+        assert_close("gla fused fwd", o_ref, o_out, 1e-4)
+        assert_close("gla fused state", s_ref, s_out, 1e-4)
+
+    def test_initial_state_and_grads(self, key):
+        from mhla_tpu.kernels.gla_chunk_pallas import gla_chunk_fused
+        from mhla_tpu.ops.gla_chunk import gla_chunk
+
+        b, t, h, d = 1, 256, 2, 128
+        kq, kk, kv, kg, ks = jax.random.split(key, 5)
+        q = jax.nn.relu(jax.random.normal(kq, (b, t, h, d)))
+        k = jax.nn.relu(jax.random.normal(kk, (b, t, h, d)))
+        v = jax.random.normal(kv, (b, t, h, d))
+        gk = -jax.nn.softplus(jax.random.normal(kg, (b, t, h, d))) * 0.1
+        s0 = jax.random.normal(ks, (b, h, d, d)) * 0.1
+
+        def loss(fn, *args):
+            return jnp.sum(jnp.cos(fn(*args, initial_state=s0)[0]))
+
+        o_ref, _ = gla_chunk(q, k, v, gk, initial_state=s0)
+        o_out, _ = gla_chunk_fused(q, k, v, gk, initial_state=s0)
+        assert_close("gla fused init-state fwd", o_ref, o_out, 1e-4)
+
+        g_ref = jax.grad(lambda *a: loss(gla_chunk, *a), argnums=(0, 1, 2, 3))(
+            q, k, v, gk
+        )
+        g_out = jax.grad(
+            lambda *a: loss(gla_chunk_fused, *a), argnums=(0, 1, 2, 3)
+        )(q, k, v, gk)
+        for a, b_, name in zip(g_ref, g_out, ["q", "k", "v", "gk"]):
+            assert_close(f"gla fused grad {name}", a, b_, 1e-3)
