@@ -115,6 +115,9 @@ class ShardListDataset:
 
     def _shard(self, i: int) -> Tuple[TarShard, List[Dict[str, int]]]:
         if i in self._open:
+            # refresh recency (dict preserves insertion order, eviction pops
+            # the front) so the cache is LRU, not FIFO
+            self._open[i] = self._open.pop(i)
             return self._open[i]
         if len(self._open) >= self.lru_size:
             evict = next(iter(self._open))

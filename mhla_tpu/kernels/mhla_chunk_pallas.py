@@ -237,14 +237,24 @@ def _mix_kernel(bands, lower, m_ref, s_ref, o_ref):
         o_ref[0, lo:hi] = o.astype(o_ref.dtype)
 
 
+def _mix_rtile(n: int, hdk: int, dv: int, nbytes: int, m_bytes: int):
+    """Row-tile of the H*Dk axis for the banded mix kernels, or None when
+    no Mosaic-legal tile fits the VMEM budget. The second-minor BlockSpec
+    dim must be a multiple of 8 (or the full array dim), so candidates are
+    restricted to 16/8 — smaller tiles would violate the tiling rule this
+    repo documents (CLAUDE.md) and fail at Mosaic compile time."""
+    for cand in (16, 8):
+        if hdk % cand == 0 and 4 * n * cand * dv * nbytes + m_bytes <= _VMEM_BUDGET_ST:
+            return cand
+    return None
+
+
 def _mix_pallas(m_tri, states4, lower: bool, bands=None):
     b, n, hdk, dv = states4.shape
     nbytes = states4.dtype.itemsize
-    rtile = hdk
-    for cand in (16, 8, 4, 2, 1):
-        if hdk % cand == 0 and 4 * n * cand * dv * nbytes + n * n * nbytes <= _VMEM_BUDGET_ST:
-            rtile = cand
-            break
+    rtile = _mix_rtile(n, hdk, dv, nbytes, n * n * nbytes)
+    if rtile is None:
+        return _mix_xla(m_tri, states4)
     if bands is None:
         bands = _mix_bands(n, lower)
     flops = (
@@ -326,11 +336,11 @@ def _dm_kernel(bands, do_ref, s_ref, dm_ref):
 def _dm_pallas(dout, states4, bands):
     b, n, hdk, dv = states4.shape
     nbytes = states4.dtype.itemsize
-    rtile = hdk
-    for cand in (16, 8, 4, 2, 1):
-        if hdk % cand == 0 and 4 * n * cand * dv * nbytes + 4 * n * n <= _VMEM_BUDGET_ST:
-            rtile = cand
-            break
+    rtile = _mix_rtile(n, hdk, dv, nbytes, 4 * n * n)
+    if rtile is None:
+        return jnp.einsum(
+            "bird,bjrd->ij", dout, states4, preferred_element_type=jnp.float32
+        )
     return pl.pallas_call(
         functools.partial(_dm_kernel, bands),
         grid=(b, hdk // rtile),

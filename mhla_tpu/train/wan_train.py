@@ -194,7 +194,9 @@ def video_batches(cfg: WanTrainConfig, rng: np.random.Generator):
                 if len(batch_z) == cfg.train.batch_size:
                     yield np.stack(batch_z), np.stack(batch_c)
                     batch_z, batch_c = [], []
-            sampler.set_epoch(sampler.epoch + 1)
+            # sampler.__iter__ self-increments its epoch on completion; the
+            # tail partial batch is dropped (drop-last, matching the
+            # reference's DataLoader(drop_last=True) behavior)
     if d.latent_dir and Path(d.latent_dir).exists():
         files = sorted(Path(d.latent_dir).glob("*.npz"))
         assert files, f"no cached latents under {d.latent_dir}"

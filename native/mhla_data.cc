@@ -267,7 +267,8 @@ void* mhla_tar_open(const char* path) {
   idx->f = f;
   char hdr[512];
   uint64_t pos = 0;
-  std::string longname;
+  std::string longname;   // GNU 'L' pending name
+  std::string paxname;    // PAX 'x' pending path= record
   while (std::fread(hdr, 1, 512, f) == 512) {
     pos += 512;
     bool empty = true;
@@ -285,9 +286,36 @@ void* mhla_tar_open(const char* path) {
       pos += padded;
       continue;
     }
+    if (type == 'x') {  // PAX extended header (Python tarfile default):
+      // payload is "LEN key=value\n" records; 'path' overrides the name
+      std::vector<char> buf(size, 0);
+      if (std::fread(buf.data(), 1, size, f) != size) break;
+      size_t off = 0;
+      while (off < size) {
+        size_t sp = off;
+        while (sp < size && buf[sp] != ' ') ++sp;
+        if (sp >= size) break;
+        uint64_t reclen = std::strtoull(std::string(buf.data() + off, sp - off).c_str(), nullptr, 10);
+        if (reclen == 0 || off + reclen > size) break;
+        std::string rec(buf.data() + sp + 1, off + reclen - sp - 2);  // strip '\n'
+        if (rec.compare(0, 5, "path=") == 0) paxname = rec.substr(5);
+        off += reclen;
+      }
+      std::fseek(f, static_cast<long>(pos + padded), SEEK_SET);
+      pos += padded;
+      continue;
+    }
+    if (type == 'g') {  // PAX global header: skip payload, keep pending names
+      std::fseek(f, static_cast<long>(pos + padded), SEEK_SET);
+      pos += padded;
+      continue;
+    }
     if (type == '0' || type == '\0') {
       std::string name;
-      if (!longname.empty()) {
+      if (!paxname.empty()) {
+        name.swap(paxname);
+        longname.clear();
+      } else if (!longname.empty()) {
         name.swap(longname);
       } else {
         char nbuf[257] = {0};
@@ -303,8 +331,11 @@ void* mhla_tar_open(const char* path) {
         name = nbuf;
       }
       idx->entries.push_back({std::move(name), pos, size});
-    } else {
+    } else if (type != 'K') {
+      // any real (non-file) member consumes pending names; a GNU 'K'
+      // long-linkname record between 'L' and its file header does not
       longname.clear();
+      paxname.clear();
     }
     std::fseek(f, static_cast<long>(pos + padded), SEEK_SET);
     pos += padded;

@@ -52,6 +52,27 @@ class TestTarReader:
         native.close()
         fallback.close()
 
+    def test_pax_long_names_native(self, tmp_path):
+        """PAX-format archives (Python tarfile's default) with >100-char
+        member names must resolve identically through the native parser and
+        the stdlib fallback."""
+        import io
+        import tarfile
+
+        p = tmp_path / "pax.tar"
+        longkey = "d/" * 60 + "sample_00001"
+        with tarfile.open(p, "w", format=tarfile.PAX_FORMAT) as tf:
+            for ext, data in (("npy", b"A" * 17), ("txt", b"hello")):
+                ti = tarfile.TarInfo(f"{longkey}.{ext}")
+                ti.size = len(data)
+                tf.addfile(ti, io.BytesIO(data))
+        sh = TarShard(str(p))
+        if native_available():
+            assert sh._lib is not None
+        assert sh.names() == [f"{longkey}.npy", f"{longkey}.txt"]
+        assert sh.read(1) == b"hello"
+        sh.close()
+
     def test_key_grouping(self):
         names = ["a.npy", "a.json", "b.npy", "b.json", "dir/c.meta.json"]
         assert split_key("dir/c.meta.json") == ("dir/c", "meta.json")
@@ -100,6 +121,18 @@ class TestShardListDataset:
         for i in range(8):
             assert ds[i]["json"]["idx"] == i
         assert len(ds._open) <= 2
+        ds.close()
+
+    def test_lru_recency_refresh(self, tmp_path):
+        """A hit must refresh recency (true LRU): with capacity 2, touching
+        shard 0 between opens of 1 and 2 must evict 1, not 0."""
+        paths = [make_shard(tmp_path / f"s{i}.tar", 2, offset=2 * i) for i in range(3)]
+        ds = ShardListDataset([str(p) for p in paths], lru_size=2)
+        ds[0]  # open shard 0
+        ds[2]  # open shard 1
+        ds[0]  # hit shard 0 -> most recent
+        ds[4]  # open shard 2 -> must evict shard 1
+        assert set(ds._open) == {0, 2}
         ds.close()
 
 
