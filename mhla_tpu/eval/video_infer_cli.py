@@ -119,9 +119,17 @@ def _text_embeddings(cfg: VideoInferConfig, prompts, model_cfg):
             else None
         )
     if cfg.t5_dir:
-        raise NotImplementedError(
-            "live T5 encoding: convert weights and pass emb_file for now"
+        # live in-process text encoding (reference ``inference.py:206``):
+        # encode the prompts plus one null/empty prompt for CFG
+        from ..models.t5 import T5TextEncoder
+
+        encoder = T5TextEncoder(cfg.t5_dir, text_len=model_cfg.text_len)
+        embs = encoder(list(prompts))
+        assert embs.shape[-1] == model_cfg.text_dim, (
+            f"T5 dim {embs.shape[-1]} != model text_dim {model_cfg.text_dim}"
         )
+        null = encoder([""])[0]
+        return embs, jnp.asarray(null)[None].repeat(len(prompts), 0)
     return jnp.zeros(shape, jnp.float32), None
 
 
@@ -142,9 +150,9 @@ def main(argv=None) -> dict:
         vae_params = load_checkpoint(cfg.vae_ckpt, None)
 
     results = []
+    text_emb, null_emb = _text_embeddings(cfg, prompts, model.cfg)
     for start in range(0, len(prompts), cfg.batch_size):
         batch = prompts[start : start + cfg.batch_size]
-        text_emb, null_emb = _text_embeddings(cfg, prompts, model.cfg)
         text_emb_b = text_emb[start : start + len(batch)]
         null_b = null_emb[start : start + len(batch)] if null_emb is not None else None
         rng = jax.random.PRNGKey(cfg.sampling.seed + start)

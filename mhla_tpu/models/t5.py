@@ -92,7 +92,9 @@ class T5RelativeEmbedding(nn.Module):
         buckets = jnp.asarray(
             relative_position_bucket(rel, self.num_buckets, self.max_dist), jnp.int32
         )
-        return table[buckets].transpose(2, 0, 1)[None]  # [1, H, Lq, Lk]
+        # jnp.asarray: the table may arrive as a numpy array (msgpack-restored
+        # params) and numpy can't be fancy-indexed by a traced index array
+        return jnp.asarray(table)[buckets].transpose(2, 0, 1)[None]  # [1, H, Lq, Lk]
 
 
 class T5EncoderBlock(nn.Module):
@@ -232,3 +234,76 @@ def convert_t5_checkpoint(
             }
         params[f"blocks_{i}"] = blk
     return {"params": params}
+
+
+class T5TextEncoder:
+    """Live prompt encoding for the video pipeline (the reference's
+    in-process ``T5EncoderModel``, ``t5.py:421-470`` + ``inference.py:206``):
+    tokenize padded/truncated to ``text_len`` with whitespace cleaning, run
+    the frozen encoder with the attention mask, and zero every position past
+    each prompt's length — the reference trims to ``seq_lens`` and the model
+    zero-pads back to ``text_len``, which is the same tensor.
+
+    ``t5_dir`` layout:
+      ``config.json``     optional ``T5Config`` field overrides, plus an
+                          optional ``"tokenizer"`` HF name/path
+                          (default: ``<t5_dir>/tokenizer``)
+      ``params.msgpack``  flax-serialized params (no template needed), OR
+      ``*.safetensors``   HF UMT5 encoder state dict (``convert_hf_umt5``), OR
+      ``*.pth``           reference torch state dict (``convert_t5_checkpoint``)
+    """
+
+    def __init__(self, t5_dir: str, text_len: int, dtype: Any = jnp.float32):
+        import json
+        from pathlib import Path
+
+        d = Path(t5_dir)
+        raw = json.loads((d / "config.json").read_text()) if (d / "config.json").exists() else {}
+        tokenizer_name = raw.pop("tokenizer", str(d / "tokenizer"))
+        fields = {f.name for f in dataclasses.fields(T5Config)}
+        self.cfg = T5Config(**{k: v for k, v in raw.items() if k in fields}, dtype=dtype)
+        self.text_len = text_len
+
+        msgpack = d / "params.msgpack"
+        if msgpack.exists():
+            from flax import serialization
+
+            self.params = serialization.msgpack_restore(msgpack.read_bytes())
+        else:
+            sts = sorted(d.glob("*.safetensors"))
+            pths = sorted(list(d.glob("*.pth")) + list(d.glob("*.pt")))
+            if sts:
+                from safetensors.numpy import load_file
+
+                state: Dict[str, np.ndarray] = {}
+                for f in sts:
+                    state.update(load_file(str(f)))
+                self.params = convert_hf_umt5(state, self.cfg)
+            elif pths:
+                import torch
+
+                state = {}
+                for f in pths:
+                    blob = torch.load(str(f), map_location="cpu", weights_only=True)
+                    state.update({k: v.float().numpy() for k, v in blob.items()})
+                self.params = convert_t5_checkpoint(state, self.cfg)
+            else:
+                raise FileNotFoundError(
+                    f"no params.msgpack / *.safetensors / *.pth under {t5_dir}"
+                )
+
+        from ..data.tokenizers import PromptTokenizer
+
+        self.tokenizer = PromptTokenizer(
+            tokenizer_name, seq_len=text_len, clean="whitespace"
+        )
+        enc = T5Encoder(self.cfg)
+        self._apply = jax.jit(
+            lambda ids, mask: enc.apply(self.params, ids, mask)
+            * mask[..., None].astype(dtype)
+        )
+
+    def __call__(self, texts) -> jax.Array:
+        """texts -> [B, text_len, dim] embeddings, zeroed past each length."""
+        ids, mask = self.tokenizer(texts, return_mask=True)
+        return self._apply(jnp.asarray(ids), jnp.asarray(mask))

@@ -362,3 +362,86 @@ class TestLoRA:
             upd, state = tx.update(g, state, lora)
             lora = optax.apply_updates(lora, upd)
         assert float(loss_fn(lora)) < l0  # lora-only training reduces loss
+    def test_lm_eval_wrapper_with_fake_module(self, monkeypatch):
+        """Exercise the real MHLATPULMWrapper (request unpacking, tokenizer
+        plumbing, string-level stops) by injecting a minimal lm_eval-shaped
+        module — the dependency isn't in the image (VERDICT r2 #7)."""
+        import importlib
+        import sys
+        import types
+
+        registered = {}
+        api = types.ModuleType("lm_eval.api")
+        mod_model = types.ModuleType("lm_eval.api.model")
+        mod_registry = types.ModuleType("lm_eval.api.registry")
+
+        class LM:
+            def __init__(self):
+                pass
+
+        def register_model(name):
+            def deco(cls):
+                registered[name] = cls
+                return cls
+            return deco
+
+        mod_model.LM = LM
+        mod_registry.register_model = register_model
+        pkg = types.ModuleType("lm_eval")
+        pkg.api = api
+        api.model = mod_model
+        api.registry = mod_registry
+        for name, m in [
+            ("lm_eval", pkg), ("lm_eval.api", api),
+            ("lm_eval.api.model", mod_model),
+            ("lm_eval.api.registry", mod_registry),
+        ]:
+            monkeypatch.setitem(sys.modules, name, m)
+
+        import mhla_tpu.eval.harness as harness
+
+        harness = importlib.reload(harness)
+        try:
+            assert "mhla_tpu" in registered
+            wrapper_cls = registered["mhla_tpu"]
+
+            class CharTokenizer:  # token id == byte value
+                def encode(self, s):
+                    return [1 + (b % 60) for b in s.encode()]
+
+                def decode(self, ids):
+                    return "".join(chr(64 + int(t) % 26) for t in ids)
+
+            class Request:
+                def __init__(self, *args):
+                    self.args = args
+
+            from mhla_tpu.models import MHLAForCausalLM, MHLALMConfig
+
+            cfg = MHLALMConfig(hidden_size=32, num_hidden_layers=1, num_heads=2,
+                               vocab_size=64, max_position_embeddings=64,
+                               chunk_size=8)
+            model = MHLAForCausalLM(cfg)
+            params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16), jnp.int32))
+            lm = wrapper_cls(model, params, CharTokenizer(), max_len=32)
+
+            res = lm.loglikelihood([Request("hello ", "world"), Request("a", "b")])
+            assert len(res) == 2 and all(
+                np.isfinite(lp) and isinstance(g, bool) for lp, g in res
+            )
+            (roll,) = lm.loglikelihood_rolling([Request("some long text here")])
+            assert np.isfinite(roll) and roll < 0
+            outs = lm.generate_until(
+                [Request("abc", {"until": ["Z"], "max_gen_toks": 6})]
+            )
+            assert len(outs) == 1 and isinstance(outs[0], str)
+            assert "Z" not in outs[0] and len(outs[0]) <= 6
+            # string 'until' (not list) path
+            outs2 = lm.generate_until(
+                [Request("abc", {"until": "Q", "max_gen_toks": 4})]
+            )
+            assert "Q" not in outs2[0]
+        finally:
+            # restore the module to its real-environment (no lm_eval) state
+            monkeypatch.undo()
+            importlib.reload(harness)
