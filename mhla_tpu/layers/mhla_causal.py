@@ -22,17 +22,16 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import (
-    apply_rotary,
     clamp_causal_mixing_matrix,
     get_feature_map,
     init_causal_mixing_matrix,
     init_mhla_state,
-    mhla_chunk,
     mhla_recurrent,
     rotary_cos_sin,
 )
 from ..ops.mhla_recurrent import MHLAState
-from .norms import GatedRMSNorm, RMSNorm
+from ..ops.rotary import apply_rotary_flat
+from .norms import GatedRMSNormHeadsFlat, RMSNormHeadsFlat
 from .short_conv import ShortConvolution
 
 
@@ -154,31 +153,48 @@ class MHLACausal(nn.Module):
                 dtype=self.dtype, name="v_conv1d",
             )(v, state.conv_v if state else None, use_cache)
 
-        q = q.reshape(b, t, self.num_heads, head_k)
-        k = k.reshape(b, t, -1, head_k)
-        v = v.reshape(b, t, -1, head_v)
+        # Head-flat stance (CLAUDE.md / VERDICT r2 #1): q/k/v stay in the
+        # projection-natural [B, T, H*D] layout through GQA expansion,
+        # feature map, masking, rotary, the fused chunk kernel, and the
+        # per-head output norm — every [B,T,H,D] view is a real TPU
+        # tile-relayout copy, so only the (tiny) decode path pays one.
         if groups > 1:
-            k = jnp.repeat(k, groups, axis=2)
-            v = jnp.repeat(v, groups, axis=2)
+            # repeat(x, g, axis=head) on the flat layout = one skinny 0/1
+            # segment matmul (MXU, tiling preserved) instead of a relayout
+            kv_heads = self.num_heads // groups
+            exp_k = _gqa_expand(k.shape[-1], k.shape[-1] // kv_heads, groups, k.dtype)
+            k = jnp.einsum("btf,fg->btg", k, exp_k)
+            exp_v = _gqa_expand(v.shape[-1], v.shape[-1] // kv_heads, groups, v.dtype)
+            v = jnp.einsum("btf,fg->btg", v, exp_v)
 
-        fmap = get_feature_map(self.feature_map)
-        q, k = fmap(q), fmap(k)
+        fmap_name = self.feature_map
+        flat_fmap_ok = fmap_name in (None, "relu", "elu", "identity", "t2r")
+        fmap = get_feature_map(fmap_name)
+        if not flat_fmap_ok:
+            # head-axis-dependent maps (softmax/exp/dpfp) need the 4D view
+            q = fmap(q.reshape(b, t, self.num_heads, head_k)).reshape(b, t, -1)
+            k = fmap(k.reshape(b, t, self.num_heads, head_k)).reshape(b, t, -1)
 
         if attention_mask is not None:
             # TPU varlen stance (SURVEY.md section 7): static shapes + masking
             # instead of the reference's cu_seqlens unpadding. Zeroed k/v
             # contribute nothing to chunk states or intra-chunk attention,
-            # so right-padded batches are exact.
-            mask = attention_mask[..., None, None].astype(k.dtype)
+            # so right-padded batches are exact. (The mask commutes with the
+            # per-token rope rotation and the elementwise feature map.)
+            mask = attention_mask[..., None].astype(k.dtype)
             k = k * mask
             v = v * mask
 
-        # rotary after the feature map (reference order, ``mhla.py:297-311``)
+        # feature map + rotary after it (reference order, ``mhla.py:297-311``)
+        # fused into one Pallas pass on flat rows (kernels.fused_fmap_rope)
         max_len = self.num_slots * self.chunk_size
-        cos, sin = rotary_cos_sin(max_len, head_k, self.rope_base, jnp.float32)
         offset = state.recurrent.t if state is not None else 0
-        q = apply_rotary(q, cos, sin, offset=offset)
-        k = apply_rotary(k, cos, sin, offset=offset)
+        cos, sin = rotary_cos_sin(max_len, head_k, self.rope_base, jnp.float32)
+        from ..kernels import fused_fmap_rope_flat
+
+        fm = fmap_name if flat_fmap_ok else None
+        q = fused_fmap_rope_flat(q, cos, sin, self.num_heads, fm, offset=offset)
+        k = fused_fmap_rope_flat(k, cos, sin, self.num_heads, fm, offset=offset)
 
         mixing = self.param(
             "mixing_matrix",
@@ -190,14 +206,21 @@ class MHLACausal(nn.Module):
         decode = state is not None and t <= self.chunk_size
         if decode or self.mode == "fused_recurrent":
             rec = state.recurrent if state is not None else None
-            o, rec = mhla_recurrent(q, k, v, mixing, rec, chunk_size=self.chunk_size)
+            o4, rec = mhla_recurrent(
+                q.reshape(b, t, self.num_heads, head_k),
+                k.reshape(b, t, self.num_heads, head_k),
+                v.reshape(b, t, self.num_heads, head_v),
+                mixing, rec, chunk_size=self.chunk_size,
+            )
+            o = o4.reshape(b, t, self.value_dim)
         else:
-            # fused Pallas phase-C kernel on TPU; same math as ops.mhla_chunk
-            from ..kernels import mhla_chunk_fused
+            # fused Pallas kernels, zero-relayout entry (same math as
+            # ops.mhla_chunk; kernels/mhla_chunk_pallas.py:684-690)
+            from ..kernels import mhla_chunk_fused_flat
 
-            o, states = mhla_chunk_fused(
-                q, k, v, mixing, chunk_size=self.chunk_size,
-                output_final_state=use_cache,
+            o, states = mhla_chunk_fused_flat(
+                q, k, v, mixing, num_heads=self.num_heads,
+                chunk_size=self.chunk_size, output_final_state=use_cache,
             )
             rec = None
             if use_cache:
@@ -215,18 +238,32 @@ class MHLACausal(nn.Module):
             )
 
         if self.use_output_gate:
-            g = g_raw.reshape(b, t, self.num_heads, head_v)
-            o = GatedRMSNorm(
+            o = GatedRMSNormHeadsFlat(
+                num_heads=self.num_heads,
                 eps=self.norm_eps,
                 elementwise_affine=self.elementwise_affine,
                 name="g_norm_swish_gate",
-            )(o, g)
+            )(o, g_raw)
         else:
-            o = RMSNorm(
+            o = RMSNormHeadsFlat(
+                num_heads=self.num_heads,
                 eps=self.norm_eps,
                 elementwise_affine=self.elementwise_affine,
                 name="g_norm",
             )(o)
-        o = o.reshape(b, t, self.value_dim)
         o = dense(self.hidden_size, "o_proj")(o)
         return o, new_state
+
+
+def _gqa_expand(kv_dim: int, dh: int, groups: int, dtype) -> jax.Array:
+    """0/1 matrix [kv_dim, kv_dim*groups] mapping head-flat kv features to
+    the grouped-repeat layout ([kv0, kv0, ..., kv1, kv1, ...] — the same
+    order as ``jnp.repeat(k4, groups, axis=2)`` on the [B,T,KVH,Dh] view)."""
+    src = jnp.arange(kv_dim)
+    dst = jnp.arange(kv_dim * groups)
+    src_head, src_off = src // dh, src % dh
+    dst_head, dst_off = dst // dh, dst % dh
+    return (
+        (src_head[:, None] == dst_head[None, :] // groups)
+        & (src_off[:, None] == dst_off[None, :])
+    ).astype(dtype)

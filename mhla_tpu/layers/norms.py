@@ -62,6 +62,72 @@ class GatedRMSNorm(nn.Module):
         )
 
 
+class GatedRMSNormHeadsFlat(nn.Module):
+    """Per-head RMSNorm(x) * swish(g) on head-flat [B, T, H*Dh] tensors.
+
+    Param-compatible with :class:`GatedRMSNorm` applied to the [B, T, H, Dh]
+    view (same ``weight`` of shape [Dh]), but the per-head sum-of-squares
+    rides through two skinny segment matmuls (MXU, tiling preserved) instead
+    of a 4D reshape — the [B,T,H*D] <-> [B,T,H,D] round trip is a real TPU
+    tile-relayout copy and a per-head RMSNorm through the 4D view measures
+    4x the flat one (CLAUDE.md)."""
+
+    num_heads: int
+    eps: float = 1e-5
+    elementwise_affine: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, g: jax.Array) -> jax.Array:
+        f32 = jnp.float32
+        fdim = x.shape[-1]
+        dh = fdim // self.num_heads
+        seg = (
+            jnp.arange(fdim)[:, None] // dh
+            == jnp.arange(self.num_heads)[None, :]
+        ).astype(x.dtype)  # [F, H]
+        # stats in fp32 (tiny [B,T,H]); the wide elementwise stream stays in
+        # the input dtype — materializing fp32 [B,T,F] temporaries measured
+        # +5 ms/step on the 340M train step
+        ss = jnp.einsum("btf,fh->bth", x * x, seg, preferred_element_type=f32)
+        inv = jax.lax.rsqrt(ss / dh + self.eps)
+        scale = inv.astype(x.dtype)
+        if self.elementwise_affine:
+            w = self.param("weight", nn.initializers.ones, (dh,), jnp.float32)
+            gate = jnp.tile(w, self.num_heads).astype(x.dtype) * jax.nn.silu(
+                g.astype(f32)
+            ).astype(x.dtype)
+        else:
+            gate = jax.nn.silu(g.astype(f32)).astype(x.dtype)
+        return x * jnp.einsum("bth,fh->btf", scale, seg) * gate
+
+
+class RMSNormHeadsFlat(nn.Module):
+    """Per-head RMSNorm on head-flat [B, T, H*Dh] (ungated counterpart of
+    :class:`GatedRMSNormHeadsFlat`; param-compatible with per-head
+    :class:`RMSNorm`)."""
+
+    num_heads: int
+    eps: float = 1e-5
+    elementwise_affine: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        f32 = jnp.float32
+        fdim = x.shape[-1]
+        dh = fdim // self.num_heads
+        seg = (
+            jnp.arange(fdim)[:, None] // dh
+            == jnp.arange(self.num_heads)[None, :]
+        ).astype(x.dtype)
+        ss = jnp.einsum("btf,fh->bth", x * x, seg, preferred_element_type=f32)
+        inv = jax.lax.rsqrt(ss / dh + self.eps)
+        y = x * jnp.einsum("bth,fh->btf", inv.astype(x.dtype), seg)
+        if self.elementwise_affine:
+            w = self.param("weight", nn.initializers.ones, (dh,), jnp.float32)
+            y = y * jnp.tile(w, self.num_heads).astype(x.dtype)
+        return y
+
+
 class LayerNorm(nn.Module):
     """LayerNorm with optional bias, fp32 compute."""
 

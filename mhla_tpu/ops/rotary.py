@@ -53,6 +53,41 @@ def apply_rotary(
     return rot.astype(x.dtype)
 
 
+def apply_rotary_flat(
+    x: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    num_heads: int,
+    offset: int | jax.Array = 0,
+) -> jax.Array:
+    """Rotate-half rotary on head-flat x [B, T, H*D] with the SAME small
+    [>=T+offset, D/2] tables as :func:`apply_rotary` — exactly equal to
+    applying it on the [B, T, H, D] view (full-head-dim rotary), without
+    the view: per head segment, y = [x1*cos - x2*sin, x2*cos + x1*sin],
+    built as 4H minor-axis slices that XLA fuses into one FMA pass. The
+    [B,T,H,D] reshape is a real TPU tile-relayout copy (CLAUDE.md); tiling
+    the tables to [T, H*D] would stream H*D/2-times the table bytes —
+    this form avoids both."""
+    t = x.shape[1]
+    dh = x.shape[-1] // num_heads
+    half = dh // 2
+    assert cos.shape[-1] == half, "flat rotary requires full-head-dim tables"
+    cos_t = jax.lax.dynamic_slice_in_dim(cos, offset, t, axis=0)[None].astype(
+        jnp.float32
+    )
+    sin_t = jax.lax.dynamic_slice_in_dim(sin, offset, t, axis=0)[None].astype(
+        jnp.float32
+    )
+    xf = x.astype(jnp.float32)
+    parts = []
+    for hi in range(num_heads):
+        x1 = xf[..., hi * dh : hi * dh + half]
+        x2 = xf[..., hi * dh + half : (hi + 1) * dh]
+        parts.append(x1 * cos_t - x2 * sin_t)
+        parts.append(x2 * cos_t + x1 * sin_t)
+    return jnp.concatenate(parts, axis=-1).astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # 3D rotary (video)
 # ---------------------------------------------------------------------------

@@ -26,16 +26,27 @@ def fsdp_spec(
     min_size: int = 2**14,
     axis_name: str = FSDP_AXIS,
 ) -> P:
-    """PartitionSpec sharding the largest divisible axis over fsdp."""
+    """PartitionSpec sharding the largest divisible axis over fsdp.
+
+    Sub-tile shards are never produced regardless of ``min_size``: a shard
+    must keep >=128 lanes on the minor axis (>=8 sublanes elsewhere), the
+    TPU tile quantum. Sharding below it (e.g. a [1,6,32] adaLN modulation
+    table 8-ways on its 32-lane axis) forces the SPMD partitioner into
+    "involuntary full rematerialization" at every use site that needs a
+    different layout — such params replicate instead."""
     if int(np.prod(shape)) < min_size:
         return P()
     # prefer the largest axis; break ties toward the later (output) axis
     order = sorted(range(len(shape)), key=lambda i: (shape[i], i), reverse=True)
     for i in order:
-        if shape[i] % fsdp_size == 0 and shape[i] >= fsdp_size:
-            spec = [None] * len(shape)
-            spec[i] = axis_name
-            return P(*spec)
+        if shape[i] % fsdp_size != 0 or shape[i] < fsdp_size:
+            continue
+        quantum = 128 if i == len(shape) - 1 else 8
+        if shape[i] // fsdp_size < quantum:
+            continue
+        spec = [None] * len(shape)
+        spec[i] = axis_name
+        return P(*spec)
     return P()
 
 
