@@ -68,7 +68,11 @@ def main():
             float(jnp.sum(z.astype(jnp.float32)))  # forces completion
             return time.perf_counter() - t0
 
-        return (run(n2) - run(n1)) / (n2 - n1)
+        run(2)  # settle post-compile relay outliers
+        # best-of-3 of the two-length difference (CLAUDE.md methodology):
+        # the relay adds multi-ms outliers that only bias upward, so the
+        # minimum is the estimate closest to true device time
+        return min((run(n2) - run(n1)) / (n2 - n1) for _ in range(3))
 
     # chained: output re-enters as q (relu keeps it a valid positive
     # feature). Both ops are fed the projection-natural head-flat

@@ -168,6 +168,61 @@ def _phase_a_bwd_pallas(k4, v4, ds4, h):
     )(k4, v4, ds4)
 
 
+def _phase_a_bwd_acc_kernel(
+    g_chunks, nh, dk, dv, k_ref, v_ref, ds_ref, dki_ref, dvi_ref, dk_ref, dv_ref
+):
+    """Phase-A backward with fused residual accumulation: the supertile
+    backward's dk/dv contributions ride in as inputs and are added in VMEM,
+    replacing two full-stream XLA ``add`` ops (2x(R128+R64+W64) MB at 32k,
+    ~0.6 ms) with one extra read here."""
+    for g in range(g_chunks):
+        k = k_ref[0, g]
+        v = v_ref[0, g]
+        for hi in range(nh):
+            ds = ds_ref[0, g, hi * dk : (hi + 1) * dk, :]  # [Dk, Dv]
+            dk_h = jax.lax.dot_general(
+                _hslice(v, hi, dv), ds, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [C, Dk]
+            dv_h = jnp.dot(
+                _hslice(k, hi, dk), ds.astype(k.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            dk_h = dk_h + _hslice(dki_ref[0, g], hi, dk).astype(jnp.float32)
+            dv_h = dv_h + _hslice(dvi_ref[0, g], hi, dv).astype(jnp.float32)
+            dk_ref[0, g, :, hi * dk : (hi + 1) * dk] = dk_h.astype(dk_ref.dtype)
+            dv_ref[0, g, :, hi * dv : (hi + 1) * dv] = dv_h.astype(dv_ref.dtype)
+
+
+def _phase_a_bwd_acc_pallas(k4, v4, ds4, dki4, dvi4, h):
+    b, n, c, hdk = k4.shape
+    dk = hdk // h
+    dv = v4.shape[-1] // h
+    nbytes = k4.dtype.itemsize
+    per_chunk = (3 * c * h * (dk + dv) + h * dk * dv) * nbytes
+    g = _pick_group(n, per_chunk)
+    tok = lambda d: pl.BlockSpec(  # noqa: E731
+        (1, g, c, h * d), lambda bi, ni: (bi, ni, 0, 0)
+    )
+    st = pl.BlockSpec((1, g, h * dk, dv), lambda bi, ni: (bi, ni, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_phase_a_bwd_acc_kernel, g, h, dk, dv),
+        grid=(b, n // g),
+        in_specs=[tok(dk), tok(dv), st, tok(dk), tok(dv)],
+        out_specs=(tok(dk), tok(dv)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, c, h * dk), k4.dtype),
+            jax.ShapeDtypeStruct((b, n, c, h * dv), v4.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * c * dk * dv,
+            bytes_accessed=(3 * (k4.size + v4.size) + ds4.size) * nbytes,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(k4, v4, ds4, dki4, dvi4)
+
+
 def _phase_a_xla(k4, v4, h):
     b, n, c, hdk = k4.shape
     dk = hdk // h
@@ -359,16 +414,82 @@ def _dm_pallas(dout, states4, bands):
     )(dout, states4)
 
 
+# single-buffered blocks (constant index maps: the [N,N] factor and the
+# [N,N] fp32 dm accumulator) ride on top of the double-buffered streams,
+# so this kernel gets a larger budget than the generic supertile one
+_VMEM_BUDGET_MIXBWD = 14 * 1024 * 1024
+
+
+def _mix_bwd_fused_kernel(
+    bands_up, bands_lo, mt_ref, do_ref, s_ref, ds_ref, dm_ref
+):
+    """One pass over dmixed: dstates = m_far^T @ dmixed (upper-banded GEMM)
+    and dm[i, j] += <dmixed_i, states_j> (lower-banded accumulation). The
+    two separate kernels each streamed dmixed from HBM (~128 MB at 32k)."""
+    _mix_kernel(bands_up, False, mt_ref, do_ref, ds_ref)
+    _dm_kernel(bands_lo, do_ref, s_ref, dm_ref)
+
+
+def _mix_bwd_fused_pallas(m_t, dout, states4):
+    """m_t: [N, N] upper-triangular (m_far^T, compute dtype), dout/states4:
+    [B, N, H*Dk, Dv] -> (dstates [same], dm [N, N] f32), or None when no
+    Mosaic-legal row tile fits the budget (callers fall back)."""
+    b, n, hdk, dv = states4.shape
+    nbytes = states4.dtype.itemsize
+    rtile = None
+    for cand in (16, 8):
+        fixed = n * n * nbytes + 4 * n * n  # m_t + fp32 dm, single-buffered
+        if hdk % cand == 0 and 6 * n * cand * dv * nbytes + fixed <= _VMEM_BUDGET_MIXBWD:
+            rtile = cand
+            break
+    if rtile is None:
+        return None
+    # fixed 128-row bands instead of halving: the largest band's fp32 GEMM
+    # transient ([band, rtile*Dv]) is what tips this kernel over the 16 MB
+    # scoped-vmem limit (measured 16.02M with a 256-row band), and the
+    # finer split also trims wasted triangle FLOPs (same measured speed)
+    step = min(128, n)
+    bands_lo = [(lo, lo + step) for lo in range(n - step, -1, -step)]
+    bands_up = [(n - hi, n - lo) for lo, hi in bands_lo]
+    row = pl.BlockSpec((1, n, rtile, dv), lambda bi, fi: (bi, 0, fi, 0))
+    flops = (
+        2 * sum((hi - lo) * (n - lo) for lo, hi in bands_up)
+        + 2 * sum((hi - lo) * hi for lo, hi in bands_lo)
+    ) * hdk * dv * b
+    return pl.pallas_call(
+        functools.partial(_mix_bwd_fused_kernel, bands_up, bands_lo),
+        grid=(b, hdk // rtile),
+        in_specs=[
+            pl.BlockSpec((n, n), lambda bi, fi: (0, 0)),
+            row,
+            row,
+        ],
+        out_specs=(row, pl.BlockSpec((n, n), lambda bi, fi: (0, 0))),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, hdk, dv), states4.dtype),
+            jax.ShapeDtypeStruct((n, n), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=3 * states4.size * nbytes + 2 * n * n * nbytes,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(m_t, dout, states4)
+
+
 def _mix_states_bwd(res, dout):
     m_far, states4 = res
     dout = dout.astype(states4.dtype)
     if _mix_use_pallas(m_far.shape[0], states4.shape[-1]):
-        # dS = m_far^T @ dout: the transpose is upper-triangular, same
-        # banded kernel with mirrored column ranges
+        # single pass over dout: dS = m_far^T @ dout (upper-banded; the
+        # transpose is upper-triangular) and dm = <dout_i, states_j>
+        # (lower-banded; the outer m_far mask discards the rest anyway)
+        fused = _mix_bwd_fused_pallas(m_far.T, dout, states4)
+        if fused is not None:
+            dstates, dm = fused
+            return dm.astype(m_far.dtype), dstates
         dstates = _mix_pallas(m_far.T, dout, lower=False)
-        # dm = <dout_i, states_j>, accumulated over feature tiles in VMEM
-        # and banded to the populated lower-triangular region (the outer
-        # m_far mask discards the rest anyway)
         dm = _dm_pallas(dout, states4, _mix_bands(m_far.shape[0], True))
         dm = dm.astype(m_far.dtype)
     else:
@@ -675,6 +796,86 @@ _phase_c_st.defvjp(_phase_c_st_fwd, _phase_c_st_bwd)
 
 
 # ---------------------------------------------------------------------------
+# fused supertile path (hand-scheduled backward)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _st_path(q4c, k4c, v4c, m_far, mb, g, c, h):
+    """Phases A -> B -> C as one differentiable unit (token-chunk layout
+    [B, N, C, H*D] in/out; m_far [N, N] compute-dtype strict-block-lower,
+    mb [NS, G, G] fp32 near blocks). Hand-scheduling the VJP lets the
+    backward fuse what autodiff composition cannot:
+
+    - the supertile backward's dk/dv contributions accumulate INSIDE the
+      phase-A backward kernel (``_phase_a_bwd_acc_pallas``) instead of two
+      full-stream XLA adds, and
+    - dmixed is streamed once through ``_mix_bwd_fused_pallas`` (dstates +
+      dm together) instead of twice.
+
+    Saves ~4x full [B,T,H*Dk]-stream HBM round trips per backward vs the
+    composed VJPs (see benchmarks via ``benchmarks/train_bench.py``).
+    """
+    o4, _ = _st_path_fwd(q4c, k4c, v4c, m_far, mb, g, c, h)
+    return o4
+
+
+def _st_path_fwd(q4c, k4c, v4c, m_far, mb, g, c, h):
+    b, n, cc, hdk = q4c.shape
+    s = g * cc
+    ns = n // g
+    states4 = _phase_a(k4c, v4c, h)
+    mixed4 = mix_states(m_far, states4)
+    o4 = _phase_c_st_pallas(
+        q4c.reshape(b, ns, s, hdk),
+        k4c.reshape(b, ns, s, hdk),
+        v4c.reshape(b, ns, s, -1),
+        mixed4, mb, g, cc, h,
+    )
+    res = (q4c, k4c, v4c, m_far, mb, states4, mixed4)
+    return o4.reshape(b, n, cc, -1), res
+
+
+def _st_path_bwd(g, c, h, res, do4):
+    q4c, k4c, v4c, m_far, mb, states4, mixed4 = res
+    b, n, cc, hdk = q4c.shape
+    hdv = v4c.shape[-1]
+    s = g * cc
+    ns = n // g
+    sup = lambda x, d: x.reshape(b, ns, s, d)  # noqa: E731
+    dq4, dk_st, dv_st, dmt4, dmb = _phase_c_st_bwd_pallas(
+        sup(q4c, hdk), sup(k4c, hdk), sup(v4c, hdv), mixed4, mb,
+        sup(do4.astype(q4c.dtype), hdv), g, cc, h,
+    )
+    dmt4 = dmt4.astype(states4.dtype)
+    fused = _mix_bwd_fused_pallas(m_far.T, dmt4, states4)
+    if fused is not None:
+        dstates, dm = fused
+    else:
+        dstates = _mix_pallas(m_far.T, dmt4, lower=False)
+        dm = _dm_pallas(dmt4, states4, _mix_bands(n, True))
+    # the dm accumulation is banded, not exact-masked: entries at/above the
+    # supertile block diagonal are real inner products but not part of
+    # m_far's domain (those rows live in mb) — mask them out here
+    sidx = jnp.arange(n) // g
+    dm = jnp.where(sidx[:, None] > sidx[None, :], dm, 0.0)
+    dk4c, dv4c = _phase_a_bwd_acc_pallas(
+        k4c, v4c, dstates.astype(k4c.dtype),
+        dk_st.reshape(b, n, cc, hdk), dv_st.reshape(b, n, cc, hdv), h,
+    )
+    return (
+        dq4.reshape(b, n, cc, hdk),
+        dk4c,
+        dv4c,
+        dm.astype(m_far.dtype),
+        dmb,
+    )
+
+
+_st_path.defvjp(_st_path_fwd, _st_path_bwd)
+
+
+# ---------------------------------------------------------------------------
 # public op
 # ---------------------------------------------------------------------------
 
@@ -768,25 +969,22 @@ def mhla_chunk_fused_flat(
         m.reshape(ns, gsz, ns, gsz), axis1=0, axis2=2
     ).transpose(2, 0, 1)  # [NS, G, G]
 
-    # A: per-chunk states in head-folded layout [B, N, H*Dk, Dv]
-    states4 = _phase_a(k4c, v4c, h)
-    # B: banded triangular [N,N] x [N, H*Dk, Dv] mix, tiling-preserving
-    mixed4 = mix_states(m_far.astype(cdt), states4)
-
-    s = gsz * c
-    q4 = q4c.reshape(b, ns, s, h * dk)
-    k4 = k4c.reshape(b, ns, s, h * dk)
-    v4 = v4c.reshape(b, ns, s, h * dv)
-    o = _phase_c_st(q4, k4, v4, mixed4, mb, gsz, c, h)
-    o = o.reshape(b, n * c, h * dv)[:, :t].astype(in_dtype)
-    states_out = (
-        states4[:, :n_real]
-        .reshape(b, n_real, h, dk, dv)
-        .transpose(0, 2, 1, 3, 4)
-        .astype(f32)
-        if output_final_state
-        else None
-    )
+    # A -> B -> C as one differentiable unit (hand-scheduled backward:
+    # residual adds fused into the phase-A bwd kernel, dmixed streamed once)
+    o4 = _st_path(q4c, k4c, v4c, m_far.astype(cdt), mb, gsz, c, h)
+    o = o4.reshape(b, n * c, h * dv)[:, :t].astype(in_dtype)
+    states_out = None
+    if output_final_state:
+        # cache path only (prefill/eval, never differentiated); XLA CSEs
+        # this with the identical phase-A call inside _st_path in no-grad
+        # graphs, and grad graphs never request the cache
+        states4 = _phase_a(k4c, v4c, h)
+        states_out = (
+            states4[:, :n_real]
+            .reshape(b, n_real, h, dk, dv)
+            .transpose(0, 2, 1, 3, 4)
+            .astype(f32)
+        )
     return o, states_out
 
 
