@@ -239,17 +239,23 @@ _readout.defvjp(_readout_fwd, _readout_bwd)
 def _rope_rows(x, cos, sin_signed, nh, dh):
     """Rotate-half on head-flat rows [C, H*Dh]: per head,
     y = x * cos + swap_halves(x) * sin_signed (sin_signed already carries
-    the [-sin, +sin] half signs)."""
+    the [-sin, +sin] half signs). ``cos``/``sin_signed`` are [C, Dh] —
+    every head shares the same angle table, so the tables are Dh wide
+    instead of H*Dh (12x less table DMA at the Wan scale)."""
     f32 = jnp.float32
     parts = []
     half = dh // 2
+    ch = cos.astype(f32)
+    sh = sin_signed.astype(f32)
     for hi in range(nh):
         xh = _hslice(x, hi, dh).astype(f32)
         swapped = jnp.concatenate([xh[:, half:], xh[:, :half]], axis=1)
-        ch = _hslice(cos, hi, dh).astype(f32)
-        sh = _hslice(sin_signed, hi, dh).astype(f32)
         parts.append(xh * ch + swapped * sh)
-    return jnp.concatenate(parts, axis=1)
+    return jnp.concatenate(parts, axis=1) if nh > 1 else parts[0]
+
+
+def _tbl_slice(tbl_ref, wi, pw, c, dh):
+    return tbl_ref[:, :, wi * pw : (wi + 1) * pw, :].reshape(c, dh)
 
 
 def _blockify_kernel(nw, pw, c, nh, dh, rope, x_ref, cos_ref, sin_ref, o_ref):
@@ -258,8 +264,8 @@ def _blockify_kernel(nw, pw, c, nh, dh, rope, x_ref, cos_ref, sin_ref, o_ref):
     for wi in range(nw):
         sub = x[:, :, wi * pw : (wi + 1) * pw, :].reshape(c, ft)
         if rope:
-            cos = cos_ref[:, :, wi * pw : (wi + 1) * pw, :].reshape(c, ft)
-            sin = sin_ref[:, :, wi * pw : (wi + 1) * pw, :].reshape(c, ft)
+            cos = _tbl_slice(cos_ref, wi, pw, c, dh)
+            sin = _tbl_slice(sin_ref, wi, pw, c, dh)
             sub = _rope_rows(sub, cos, sin, nh, dh)
         o_ref[0, wi] = sub.astype(o_ref.dtype)
 
@@ -270,8 +276,8 @@ def _unblockify_kernel(nw, pw, pf, ph, nh, dh, rope, x_ref, cos_ref, sin_ref, o_
     for wi in range(nw):
         sub = x_ref[0, wi]  # [C, Ftile]
         if rope:
-            cos = cos_ref[:, :, wi * pw : (wi + 1) * pw, :].reshape(c, ft)
-            sin = sin_ref[:, :, wi * pw : (wi + 1) * pw, :].reshape(c, ft)
+            cos = _tbl_slice(cos_ref, wi, pw, c, dh)
+            sin = _tbl_slice(sin_ref, wi, pw, c, dh)
             sub = _rope_rows(sub, cos, sin, nh, dh)
         o_ref[0, :, :, wi * pw : (wi + 1) * pw, :] = sub.reshape(
             pf, ph, pw, ft
@@ -287,11 +293,18 @@ def _block_geometry(grid, layout):
 _VMEM_BUDGET_BLOCKIFY = 8 * 1024 * 1024  # rope temporaries run fp32 in VMEM
 
 
-def _pick_ftile(fdim, dh, cnw, nbytes, rope):
+def _ftile_candidates(fdim, dh):
     for ft in (fdim, fdim // 2, fdim // 3, fdim // 4, fdim // 6, fdim // 12, dh):
-        if ft <= 0 or fdim % ft or ft % dh:
-            continue
-        if (4 if rope else 2) * cnw * ft * nbytes * 2 <= _VMEM_BUDGET_BLOCKIFY:
+        if ft > 0 and fdim % ft == 0 and ft % dh == 0:
+            yield ft
+
+
+def _pick_ftile(fdim, dh, cnw, nbytes, rope):
+    # tables are [*, Dh] (shared across heads), single fetch per (fi, hi)
+    fixed = 2 * 2 * cnw * dh * nbytes if rope else 0
+    for ft in _ftile_candidates(fdim, dh):
+        work = 2 * cnw * ft * nbytes * 2 + (2 * cnw * ft * 4 if rope else 0)
+        if work + fixed <= _VMEM_BUDGET_BLOCKIFY:
             return ft
     return dh
 
@@ -312,15 +325,18 @@ def _blockify_pallas(x, grid, layout, tables, num_heads, inverse: bool):
     ft = _pick_ftile(fdim, dh, c * nw, x.dtype.itemsize, rope)
     nh_t = ft // dh  # heads per feature tile
     cos, sin = tables if rope else (
-        jnp.zeros((1, 1, 1, fdim), x.dtype),
-        jnp.zeros((1, 1, 1, fdim), x.dtype),
+        jnp.zeros((1, 1, 1, dh), x.dtype),
+        jnp.zeros((1, 1, 1, dh), x.dtype),
     )
     if rope:
-        cos = cos.reshape(fg, hg, wg, fdim).astype(x.dtype)
-        sin = sin.reshape(fg, hg, wg, fdim).astype(x.dtype)
+        cos = cos.reshape(fg, hg, wg, dh).astype(x.dtype)
+        sin = sin.reshape(fg, hg, wg, dh).astype(x.dtype)
+    # tables are per-head [*, Dh] (all heads share the angles); the index
+    # map ignores ki, so with ki the innermost grid axis Mosaic fetches the
+    # block once per (fi, hi) stripe instead of once per feature tile
     tbl_spec = pl.BlockSpec(
-        (pf, ph, wg, ft) if rope else (1, 1, 1, fdim),
-        (lambda bi, fi, hi, ki: (fi, hi, 0, ki))
+        (pf, ph, wg, dh) if rope else (1, 1, 1, dh),
+        (lambda bi, fi, hi, ki: (fi, hi, 0, 0))
         if rope
         else (lambda bi, fi, hi, ki: (0, 0, 0, 0)),
     )
@@ -420,8 +436,11 @@ def rope_tables_flat(
     theta: float = 10000.0,
     max_pos: int = 1024,
 ):
-    """(cos_flat, sin_signed_flat) [T, H*Dh] for the fused blockify rope:
-    rotate-half as y = x*cos + swap_halves(x)*sin_signed."""
+    """(cos_flat, sin_signed_flat) [T, Dh] for the fused blockify rope:
+    rotate-half as y = x*cos + swap_halves(x)*sin_signed. All heads share
+    the same angle table, so the tables are Dh wide (``num_heads`` is kept
+    in the signature for call-site clarity but does not affect shapes)."""
+    del num_heads
     from ..ops.rotary import rope_angles_3d
 
     ang = jnp.asarray(
@@ -431,10 +450,342 @@ def rope_tables_flat(
     sin = jnp.sin(ang)
     cos_h = jnp.concatenate([cos, cos], axis=-1)  # [T, Dh]
     sin_h = jnp.concatenate([-sin, sin], axis=-1)
-    return (
-        jnp.tile(cos_h, (1, num_heads)).astype(dtype),
-        jnp.tile(sin_h, (1, num_heads)).astype(dtype),
+    return cos_h.astype(dtype), sin_h.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# fused attention-island prologue / epilogue
+#
+# The reference's fp32 attention island (mhla_utils.py:308) casts q/k/v to
+# float and runs RMSNorm -> relu(+eps) -> RoPE -> block rearrange as separate
+# torch ops. Composed the same way here, each step is a full ~193 MB HBM
+# stream at the 31.5k-token fp32 scale (cast w, norm r+w, blockify r+w per
+# input). ``blockify_island`` fuses the whole prologue into the blockify
+# Pallas pass: read the projection output ONCE in its native (bf16) dtype,
+# do norm/relu/rope in fp32 VMEM, write the blocked island-dtype tensor —
+# and optionally emit the no-RoPE copy the normalizer needs from the same
+# read. ``unblockify_island`` is the mirrored epilogue (per-head RMSNorm +
+# output cast fused into the inverse rearrange).
+# ---------------------------------------------------------------------------
+
+
+def _island_kernel(
+    nw, pw, c, nh, dh, rope, use_norm, relu_eps, mid_dtype,
+    x_ref, inv_ref, g_ref, cos_ref, sin_ref, *o_refs,
+):
+    ft = x_ref.shape[-1]
+    f32 = jnp.float32
+    x = x_ref[0]  # [pf, ph, W, Ftile]
+    o_ref = o_refs[0]
+    nope_ref = o_refs[1] if len(o_refs) > 1 else None
+    for wi in range(nw):
+        sub = x[:, :, wi * pw : (wi + 1) * pw, :].reshape(c, ft).astype(f32)
+        if use_norm:
+            inv = (
+                inv_ref[0][:, :, wi * pw : (wi + 1) * pw, :]
+                .reshape(c, 1)
+                .astype(f32)
+            )
+            sub = sub * inv * g_ref[0].astype(f32)[None, :]
+            if mid_dtype is not None:
+                # replicate the composed path's rounding between ops so the
+                # bf16 island matches the unfused semantics bit-for-bit
+                sub = sub.astype(mid_dtype).astype(f32)
+        if relu_eps is not None:
+            sub = jnp.maximum(sub, 0.0) + relu_eps
+            if mid_dtype is not None:
+                sub = sub.astype(mid_dtype).astype(f32)
+        if nope_ref is not None:
+            nope_ref[0, wi] = sub.astype(nope_ref.dtype)
+        if rope:
+            cos = _tbl_slice(cos_ref, wi, pw, c, dh)
+            sin = _tbl_slice(sin_ref, wi, pw, c, dh)
+            sub = _rope_rows(sub, cos, sin, nh, dh)
+        o_ref[0, wi] = sub.astype(o_ref.dtype)
+
+
+def _pick_ftile_island(fdim, dh, c, nw, xbytes, obytes, nout, rope):
+    cnw = c * nw
+    fixed = 2 * cnw * 4 + (2 * 2 * cnw * dh * 4 if rope else 0)  # inv + tables
+    for ft in _ftile_candidates(fdim, dh):
+        # double-buffered in/out blocks + fp32 per-w-block temporaries
+        work = 2 * cnw * ft * (xbytes + nout * obytes) + 4 * c * ft * 4
+        if work + fixed <= _VMEM_BUDGET_BLOCKIFY:
+            return ft
+    return dh
+
+
+def _island_pallas(x, inv, gamma, tables, grid, layout, num_heads,
+                   relu_eps, mid_dtype, out_dtype, emit_nope):
+    (fg, hg, wg), (nf, nh_, nw) = grid, layout
+    pf, ph, pw, c, n = _block_geometry(grid, layout)
+    b = x.shape[0]
+    fdim = x.shape[-1]
+    dh = fdim // num_heads
+    rope = tables is not None
+    use_norm = gamma is not None
+    nout = 2 if emit_nope else 1
+    ft = _pick_ftile_island(
+        fdim, dh, c, nw, x.dtype.itemsize, jnp.dtype(out_dtype).itemsize,
+        nout, rope,
     )
+    nh_t = ft // dh
+
+    if rope:
+        cos, sin = (t.reshape(fg, hg, wg, dh).astype(jnp.float32) for t in tables)
+    else:
+        cos = sin = jnp.zeros((1, 1, 1, dh), jnp.float32)
+    if use_norm:
+        inv5 = inv.reshape(b, fg, hg, wg, 1)
+        g2 = gamma.reshape(1, fdim).astype(jnp.float32)
+    else:
+        inv5 = jnp.ones((1, 1, 1, 1, 1), jnp.float32)
+        g2 = jnp.ones((1, fdim), jnp.float32)
+
+    stripe = pl.BlockSpec(
+        (1, pf, ph, wg, ft), lambda bi, fi, hi, ki: (bi, fi, hi, 0, ki)
+    )
+    inv_spec = pl.BlockSpec(
+        (1, pf, ph, wg, 1) if use_norm else (1, 1, 1, 1, 1),
+        (lambda bi, fi, hi, ki: (bi, fi, hi, 0, 0))
+        if use_norm
+        else (lambda bi, fi, hi, ki: (0, 0, 0, 0, 0)),
+    )
+    g_spec = pl.BlockSpec((1, ft), lambda bi, fi, hi, ki: (0, ki))
+    tbl_spec = pl.BlockSpec(
+        (pf, ph, wg, dh) if rope else (1, 1, 1, dh),
+        (lambda bi, fi, hi, ki: (fi, hi, 0, 0))
+        if rope
+        else (lambda bi, fi, hi, ki: (0, 0, 0, 0)),
+    )
+    blocked = pl.BlockSpec(
+        (1, nw, c, ft), lambda bi, fi, hi, ki: (bi, fi * nh_ + hi, 0, ki)
+    )
+    out_shape = [jax.ShapeDtypeStruct((b, n, c, fdim), out_dtype)] * nout
+    outs = pl.pallas_call(
+        functools.partial(
+            _island_kernel, nw, pw, c, nh_t, dh, rope, use_norm,
+            relu_eps, mid_dtype,
+        ),
+        grid=(b, nf, nh_, fdim // ft),
+        in_specs=[stripe, inv_spec, g_spec, tbl_spec, tbl_spec],
+        out_specs=tuple([blocked] * nout),
+        out_shape=tuple(out_shape),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * x.size,
+            bytes_accessed=x.size * x.dtype.itemsize
+            + nout * x.size * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x.reshape(b, fg, hg, wg, fdim), inv5, g2, cos, sin)
+    return outs if emit_nope else (outs[0], None)
+
+
+def _island_inv(x, gamma, norm_eps, mid_dtype):
+    """Per-token inverse RMS [B, T] fp32 (stats pass; XLA fuses it into the
+    producing projection's epilogue where possible)."""
+    if gamma is None:
+        return None
+    f32 = jnp.float32
+    xf = x.astype(mid_dtype).astype(f32) if mid_dtype is not None else x.astype(f32)
+    return jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1) + norm_eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def blockify_island(
+    x, tables, gamma, grid, layout, num_heads,
+    norm_eps=1e-6, relu_eps=None, mid_dtype=None, out_dtype=jnp.float32,
+    emit_nope=False,
+):
+    """Fused island prologue: flat [B, T, F] (native dtype) ->
+    ``(blocked_rope, blocked_nope | None)`` in ``out_dtype``, applying
+    full-dim RMSNorm (``gamma`` [F], fp32 stats), ``relu(x) + relu_eps``,
+    and rotate-half RoPE (``tables`` = [T, Dh] cos / sin_signed) inside the
+    blockify pass. ``mid_dtype`` (e.g. bf16) reproduces the composed path's
+    rounding between ops; None keeps full fp32 through the chain.
+    ``emit_nope`` additionally returns the post-relu, pre-RoPE copy the
+    blockwise normalizer consumes — from the same single read of ``x``.
+
+    Replaces cast -> RMSNorm -> relu -> blockify (4-6 full HBM streams per
+    input at the 31.5k-token fp32 island) with one stats pass over the
+    native-dtype input plus one fused Pallas pass.
+    """
+    inv = _island_inv(x, gamma, norm_eps, mid_dtype)
+    return _island_pallas(
+        x, inv, gamma, tables, grid, layout, num_heads,
+        relu_eps, mid_dtype, out_dtype, emit_nope,
+    )
+
+
+def _blockify_island_fwd(x, tables, gamma, grid, layout, num_heads,
+                         norm_eps, relu_eps, mid_dtype, out_dtype, emit_nope):
+    out = blockify_island(
+        x, tables, gamma, grid, layout, num_heads,
+        norm_eps, relu_eps, mid_dtype, out_dtype, emit_nope,
+    )
+    return out, (x, tables, gamma)
+
+
+def _blockify_island_bwd(grid, layout, num_heads, norm_eps, relu_eps,
+                         mid_dtype, out_dtype, emit_nope, res, dout):
+    x, tables, gamma = res
+    f32 = jnp.float32
+    dy, dnope = dout
+    # transpose of (rope o blockify): unblockify with negated sin
+    dr = _blockify_pallas(
+        dy.astype(f32), grid, layout, _neg_sin(tables), num_heads, inverse=True
+    )
+    if dnope is not None:
+        dr = dr + _blockify_pallas(
+            dnope.astype(f32), grid, layout, None, num_heads, inverse=True
+        )
+    xf = x.astype(mid_dtype).astype(f32) if mid_dtype is not None else x.astype(f32)
+    if gamma is not None:
+        inv = jax.lax.rsqrt(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) + norm_eps
+        )
+        gf = gamma.astype(f32)
+        xn = xf * inv * gf
+    else:
+        inv, gf, xn = None, None, xf
+    dxn = jnp.where(xn > 0, dr, 0.0) if relu_eps is not None else dr
+    dgamma = None
+    if gamma is not None:
+        dgamma = jnp.sum(dxn * xf * inv, axis=tuple(range(x.ndim - 1))).astype(
+            gamma.dtype
+        )
+        u = dxn * gf
+        fdim = x.shape[-1]
+        dx = inv * u - xf * (inv**3 / fdim) * jnp.sum(
+            u * xf, axis=-1, keepdims=True
+        )
+    else:
+        dx = dxn
+    dtab = None if tables is None else jax.tree.map(jnp.zeros_like, tables)
+    return dx.astype(x.dtype), dtab, dgamma
+
+
+blockify_island.defvjp(_blockify_island_fwd, _blockify_island_bwd)
+
+
+def _unisland_kernel(
+    nw, pw, pf, ph, nh, dh, eps, mid_dtype, x_ref, g_ref, o_ref
+):
+    ft = x_ref.shape[-1]
+    c = x_ref.shape[-2]
+    f32 = jnp.float32
+    gh = g_ref[0].astype(f32)[None, :]  # [1, Dh] shared across heads
+    for wi in range(nw):
+        sub = x_ref[0, wi].astype(f32)  # [C, Ftile]
+        if mid_dtype is not None:
+            sub = sub.astype(mid_dtype).astype(f32)
+        parts = []
+        for hi in range(nh):
+            xh = _hslice(sub, hi, dh)
+            ss = jnp.sum(xh * xh, axis=1, keepdims=True) / dh
+            parts.append(xh * jax.lax.rsqrt(ss + eps) * gh)
+        y = jnp.concatenate(parts, axis=1) if nh > 1 else parts[0]
+        o_ref[0, :, :, wi * pw : (wi + 1) * pw, :] = y.reshape(
+            pf, ph, pw, ft
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def unblockify_island(
+    xb, gamma_head, grid, layout, num_heads,
+    norm_eps=1e-6, mid_dtype=None, out_dtype=jnp.float32,
+):
+    """Fused island epilogue: blocked [B, N, C, F] -> flat [B, T, F]
+    ``out_dtype``, with the per-head RMSNorm (``gamma_head`` [Dh], the
+    reference's g_norm) applied in VMEM. Per-(token, head) norms commute
+    with the block permutation, so norm-in-blocked-order == norm-then-
+    unblockify. ``mid_dtype`` reproduces the composed path's rounding
+    (unblockify -> cast -> norm) when the island runs wider than the model
+    dtype. Replaces unblockify + cast + rms_norm_heads_flat (~5 streams)
+    with one pass."""
+    (fg, hg, wg), (nf, nh_, nw) = grid, layout
+    pf, ph, pw, c, n = _block_geometry(grid, layout)
+    b = xb.shape[0]
+    fdim = xb.shape[-1]
+    dh = fdim // num_heads
+    ft = _pick_ftile_island(
+        fdim, dh, c, nw, xb.dtype.itemsize, jnp.dtype(out_dtype).itemsize,
+        1, rope=False,
+    )
+    nh_t = ft // dh
+    g2 = gamma_head.reshape(1, dh).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(
+            _unisland_kernel, nw, pw, pf, ph, nh_t, dh, norm_eps, mid_dtype
+        ),
+        grid=(b, nf, nh_, fdim // ft),
+        in_specs=[
+            pl.BlockSpec(
+                (1, nw, c, ft), lambda bi, fi, hi, ki: (bi, fi * nh_ + hi, 0, ki)
+            ),
+            pl.BlockSpec((1, dh), lambda bi, fi, hi, ki: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, pf, ph, wg, ft), lambda bi, fi, hi, ki: (bi, fi, hi, 0, ki)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, fg, hg, wg, fdim), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * xb.size,
+            bytes_accessed=xb.size * xb.dtype.itemsize
+            + xb.size * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(xb, g2)
+    return out.reshape(b, fg * hg * wg, fdim)
+
+
+def _unblockify_island_fwd(xb, gamma_head, grid, layout, num_heads,
+                           norm_eps, mid_dtype, out_dtype):
+    out = unblockify_island(
+        xb, gamma_head, grid, layout, num_heads, norm_eps, mid_dtype, out_dtype
+    )
+    return out, (xb, gamma_head)
+
+
+def _unblockify_island_bwd(grid, layout, num_heads, norm_eps, mid_dtype,
+                           out_dtype, res, dy):
+    xb, gamma_head = res
+    f32 = jnp.float32
+    fdim = xb.shape[-1]
+    dh = fdim // num_heads
+    # transpose of the permutation, then the per-head norm vjp in blocked
+    # layout (segment matmuls keep the head reductions relayout-free)
+    dyb = _blockify_pallas(
+        dy.astype(f32), grid, layout, None, num_heads, inverse=False
+    )
+    xf = (
+        xb.astype(mid_dtype).astype(f32)
+        if mid_dtype is not None
+        else xb.astype(f32)
+    )
+    seg = (
+        jnp.arange(fdim)[:, None] // dh
+        == jnp.arange(num_heads)[None, :]
+    ).astype(f32)  # [F, H]
+    ss = jnp.einsum("bncf,fh->bnch", xf * xf, seg) / dh
+    inv = jax.lax.rsqrt(ss + norm_eps)
+    inv_f = jnp.einsum("bnch,fh->bncf", inv, seg)
+    gf = jnp.tile(gamma_head.astype(f32), num_heads)
+    u = dyb * gf
+    dot = jnp.einsum("bncf,fh->bnch", u * xf, seg) / dh
+    dxb = inv_f * u - xf * inv_f**3 * jnp.einsum("bnch,fh->bncf", dot, seg)
+    ph_map = (
+        jnp.arange(fdim)[:, None] % dh == jnp.arange(dh)[None, :]
+    ).astype(f32)  # [F, Dh]
+    dgamma = jnp.einsum("bncf,fd->d", dyb * xf * inv_f, ph_map).astype(
+        gamma_head.dtype
+    )
+    return dxb.astype(xb.dtype), dgamma
+
+
+unblockify_island.defvjp(_unblockify_island_fwd, _unblockify_island_bwd)
 
 
 def rms_norm_heads_flat(x, scale, num_heads: int, eps: float = 1e-6):

@@ -222,9 +222,9 @@ class MHLA3D(nn.Module):
         rope_tables: Optional[Tuple[jax.Array, jax.Array]] = None,
     ) -> jax.Array:
         """x: [B, F*H*W, dim]; grid: static (F, H, W). ``rope_tables``:
-        optional precomputed (cos_flat, sin_signed_flat) from
-        ``rope_tables_flat`` — building them costs two [T, H*D]-sized
-        writes, so callers with many layers (WanModel) hoist them."""
+        optional precomputed (cos_flat, sin_signed_flat) [T, Dh] from
+        ``rope_tables_flat``; callers with many layers (WanModel) hoist
+        them so remat doesn't rebuild them per block."""
         b, t, _ = x.shape
         h = self.num_heads
         d = self.dim // h
@@ -246,14 +246,6 @@ class MHLA3D(nn.Module):
         # ops (norms/rope still accumulate fp32 internally), halving the
         # bandwidth of the rearranges at 31.5k-token scale
         island_dt = self.attn_compute_dtype or jnp.float32
-        q = q.astype(island_dt)
-        k = k.astype(island_dt)
-        v = v.astype(island_dt)
-        if self.qk_norm:
-            q = RMSNorm(name="norm_q", eps=self.eps)(q)
-            k = RMSNorm(name="norm_k", eps=self.eps)(k)
-        q = jax.nn.relu(q) + jnp.asarray(self.eps, island_dt)
-        k = jax.nn.relu(k) + jnp.asarray(self.eps, island_dt)
 
         m = BlockMixing(
             blocks_layout=self.blocks_layout,
@@ -262,33 +254,57 @@ class MHLA3D(nn.Module):
         )()
 
         from ..kernels.mhla_block_pallas import (
-            blockify,
+            blockify_island,
             mhla_blockwise_fused,
-            rms_norm_heads_flat,
             rope_tables_flat,
-            unblockify,
+            unblockify_island,
         )
         from ..kernels.mhla_chunk_pallas import _use_pallas
 
         fused = _use_pallas(8, d, d)
 
         if fused:
-            # head-flat fast path: RoPE + block rearrange fused into one
-            # Pallas pass per stream; no [B,T,H,D] tile relayout anywhere
+            # head-flat fast path: the whole island prologue (cast to the
+            # island dtype, full-dim RMSNorm, relu feature map, 3D RoPE,
+            # block rearrange) fuses into ONE Pallas pass per stream — the
+            # projection output is read once in its native dtype instead of
+            # paying cast/norm/relu/blockify as separate full HBM streams
             if self.without_rope:
                 tables = None
             elif rope_tables is not None:
-                tables = tuple(tb.astype(island_dt) for tb in rope_tables)
+                tables = tuple(tb.astype(jnp.float32) for tb in rope_tables)
             else:
                 tables = rope_tables_flat(
-                    grid, d, h, island_dt, self.rope_theta, self.rope_max_pos
+                    grid, d, h, jnp.float32, self.rope_theta, self.rope_max_pos
                 )
             glt = (grid, self.blocks_layout, h)
-            qb = blockify(q, tables, *glt)
-            kb = blockify(k, tables, *glt)
-            vb = blockify(v, None, *glt)
-            q_nope = blockify(q, None, *glt) if self.normalize_out else None
-            k_nope = blockify(k, None, *glt) if self.normalize_out else None
+            # mid_dtype replicates the composed path's rounding between ops
+            # when the island runs narrower than fp32
+            mid = None if island_dt == jnp.float32 else island_dt
+            # param-compatible with the RMSNorm modules of the module path
+            gq = (
+                _HeadNormScale(self.dim, name="norm_q")()
+                if self.qk_norm else None
+            )
+            gk = (
+                _HeadNormScale(self.dim, name="norm_k")()
+                if self.qk_norm else None
+            )
+            want_nope = self.normalize_out and tables is not None
+            relu_eps = float(self.eps)
+            qb, q_nope = blockify_island(
+                q, tables, gq, *glt, self.eps, relu_eps, mid, island_dt,
+                want_nope,
+            )
+            kb, k_nope = blockify_island(
+                k, tables, gk, *glt, self.eps, relu_eps, mid, island_dt,
+                want_nope,
+            )
+            vb, _ = blockify_island(
+                v, None, None, *glt, self.eps, None, mid, island_dt, False
+            )
+            if self.normalize_out and tables is None:
+                q_nope, k_nope = qb, kb  # no RoPE: nope streams == roped
             out = mhla_blockwise_fused(
                 qb, kb, vb, m,
                 num_heads=h,
@@ -296,12 +312,23 @@ class MHLA3D(nn.Module):
                 normalize=self.normalize_out, eps=self.eps,
                 compute_dtype=self.attn_compute_dtype,
             )
-            out = unblockify(out, None, *glt).astype(x.dtype)
-            # per-head RMSNorm (reference g_norm over dim_head) without the
-            # 4D view — same param tree as the RMSNorm module path below
+            # fused epilogue: inverse rearrange + cast + per-head RMSNorm
+            # (reference g_norm over dim_head; same param tree as the
+            # RMSNorm module path below)
             w = _HeadNormScale(d, name="g_norm")()
-            out = rms_norm_heads_flat(out, w, h, self.eps)
+            out = unblockify_island(
+                out, w, *glt, self.eps,
+                x.dtype if out.dtype != x.dtype else None, x.dtype,
+            )
         else:
+            q = q.astype(island_dt)
+            k = k.astype(island_dt)
+            v = v.astype(island_dt)
+            if self.qk_norm:
+                q = RMSNorm(name="norm_q", eps=self.eps)(q)
+                k = RMSNorm(name="norm_k", eps=self.eps)(k)
+            q = jax.nn.relu(q) + jnp.asarray(self.eps, island_dt)
+            k = jax.nn.relu(k) + jnp.asarray(self.eps, island_dt)
             q5 = q.reshape(b, t, h, d)
             k5 = k.reshape(b, t, h, d)
             v5 = v.reshape(b, t, h, d)

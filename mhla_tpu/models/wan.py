@@ -393,7 +393,7 @@ class WanModel(nn.Module):
             use_dense = jnp.max(t) >= cfg.sparse_dense_from_t
 
         # hoist the MHLA3D rope tables: identical across layers, and (under
-        # remat) rebuilt per block otherwise — two [T, dim] writes each
+        # remat) rebuilt per block otherwise — two [T, Dh] fp32 tables
         rope_tables = None
         if cfg.linear_attn_idx and cfg.attn_type == "mhla_uni" and not cfg.without_rope:
             from ..kernels.mhla_block_pallas import rope_tables_flat
@@ -401,10 +401,7 @@ class WanModel(nn.Module):
 
             dh = cfg.dim // cfg.num_heads
             if _use_pallas(8, dh, dh):
-                rope_tables = rope_tables_flat(
-                    grid, dh, cfg.num_heads,
-                    cfg.attn_compute_dtype or jnp.float32,
-                )
+                rope_tables = rope_tables_flat(grid, dh, cfg.num_heads)
 
         block_cls = (
             nn.remat(WanBlock, static_argnums=(4, 6)) if cfg.remat else WanBlock

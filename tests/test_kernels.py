@@ -160,6 +160,148 @@ class TestBlockwiseFusedInterpret:
             assert_close(f"blockwise fused grad {name}", a, b_, 1e-4)
 
 
+class TestIslandKernelsInterpret:
+    """Fused island prologue/epilogue vs the composed oracle (cast ->
+    RMSNorm -> relu -> RoPE -> blockify, and unblockify -> cast -> per-head
+    RMSNorm), forward and gradients, interpret mode."""
+
+    @pytest.fixture(autouse=True)
+    def _force_interpret(self):
+        from mhla_tpu.kernels import mhla_chunk_pallas as mod
+
+        mod.FORCE_INTERPRET = True
+        yield
+        mod.FORCE_INTERPRET = False
+
+    def _setup(self, key, dim=256, h=2, grid=(2, 4, 4), layout=(2, 2, 2)):
+        from mhla_tpu.kernels.mhla_block_pallas import rope_tables_flat
+
+        t = grid[0] * grid[1] * grid[2]
+        x = jax.random.normal(key, (1, t, dim), jnp.float32)
+        gamma = jax.random.normal(jax.random.PRNGKey(7), (dim,)) * 0.1 + 1.0
+        tables = rope_tables_flat(grid, dim // h, h)
+        return x, gamma, tables, t
+
+    @staticmethod
+    def _oracle_prologue(x, gamma, tables, grid, layout, h, eps, rope):
+        from mhla_tpu.kernels.mhla_block_pallas import blockify
+        from mhla_tpu.layers.norms import rms_norm
+
+        q = rms_norm(x, gamma, eps)
+        q = jax.nn.relu(q) + eps
+        nope = blockify(q, None, grid, layout, h)
+        roped = blockify(q, tables if rope else None, grid, layout, h)
+        return roped, nope
+
+    @pytest.mark.parametrize("rope", [True, False])
+    def test_prologue_matches_composed(self, key, rope):
+        from mhla_tpu.kernels.mhla_block_pallas import blockify_island
+
+        grid, layout, h, eps = (2, 4, 4), (2, 2, 2), 2, 1e-6
+        x, gamma, tables, t = self._setup(key)
+        ref_rope, ref_nope = self._oracle_prologue(
+            x, gamma, tables, grid, layout, h, eps, rope
+        )
+        out, nope = blockify_island(
+            x, tables if rope else None, gamma, grid, layout, h,
+            eps, eps, None, jnp.float32, rope,
+        )
+        assert_close("island prologue", ref_rope, out, 1e-5)
+        if rope:
+            assert_close("island prologue nope", ref_nope, nope, 1e-5)
+
+    def test_prologue_no_norm_no_relu(self, key):
+        from mhla_tpu.kernels.mhla_block_pallas import blockify, blockify_island
+
+        grid, layout, h = (2, 4, 4), (2, 2, 2), 2
+        x, _, _, t = self._setup(key)
+        xb = x.astype(jnp.bfloat16)  # native-dtype input, fp32 out
+        ref = blockify(xb.astype(jnp.float32), None, grid, layout, h)
+        out, _ = blockify_island(
+            xb, None, None, grid, layout, h, 1e-6, None, None,
+            jnp.float32, False,
+        )
+        assert out.dtype == jnp.float32
+        assert_close("island cast blockify", ref, out, 1e-6)
+
+    def test_prologue_gradients(self, key):
+        from mhla_tpu.kernels.mhla_block_pallas import blockify_island
+
+        grid, layout, h, eps = (2, 4, 4), (2, 2, 2), 2, 1e-6
+        x, gamma, tables, t = self._setup(key)
+
+        def loss_fused(x, gamma):
+            out, nope = blockify_island(
+                x, tables, gamma, grid, layout, h, eps, eps, None,
+                jnp.float32, True,
+            )
+            return jnp.sum(jnp.cos(out)) + jnp.sum(jnp.sin(nope))
+
+        def loss_ref(x, gamma):
+            roped, nope = self._oracle_prologue(
+                x, gamma, tables, grid, layout, h, eps, True
+            )
+            return jnp.sum(jnp.cos(roped)) + jnp.sum(jnp.sin(nope))
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(x, gamma)
+        g_out = jax.grad(loss_fused, argnums=(0, 1))(x, gamma)
+        for a, b_, name in zip(g_ref, g_out, ["x", "gamma"]):
+            assert_close(f"island prologue grad {name}", a, b_, 1e-4)
+
+    def test_epilogue_matches_composed(self, key):
+        from mhla_tpu.kernels.mhla_block_pallas import (
+            rms_norm_heads_flat,
+            unblockify,
+            unblockify_island,
+        )
+
+        grid, layout, h, eps = (2, 4, 4), (2, 2, 2), 2, 1e-6
+        dim = 256
+        dh = dim // h
+        n = layout[0] * layout[1] * layout[2]
+        t = grid[0] * grid[1] * grid[2]
+        c = t // n
+        xb = jax.random.normal(key, (1, n, c, dim), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(3), (dh,)) * 0.1 + 1.0
+
+        flat = unblockify(xb, None, grid, layout, h).astype(jnp.bfloat16)
+        ref = rms_norm_heads_flat(flat, w, h, eps)
+        out = unblockify_island(
+            xb, w, grid, layout, h, eps, jnp.bfloat16, jnp.bfloat16
+        )
+        assert out.dtype == jnp.bfloat16
+        assert_close("island epilogue", ref, out, 2e-3)
+
+    def test_epilogue_gradients(self, key):
+        from mhla_tpu.kernels.mhla_block_pallas import (
+            rms_norm_heads_flat,
+            unblockify,
+            unblockify_island,
+        )
+
+        grid, layout, h, eps = (2, 4, 4), (2, 2, 2), 2, 1e-6
+        dim, n = 256, 8
+        dh = dim // h
+        t = grid[0] * grid[1] * grid[2]
+        c = t // n
+        xb = jax.random.normal(key, (1, n, c, dim), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(3), (dh,)) * 0.1 + 1.0
+
+        def loss_fused(xb, w):
+            return jnp.sum(jnp.cos(unblockify_island(
+                xb, w, grid, layout, h, eps, None, jnp.float32
+            )))
+
+        def loss_ref(xb, w):
+            flat = unblockify(xb, None, grid, layout, h)
+            return jnp.sum(jnp.cos(rms_norm_heads_flat(flat, w, h, eps)))
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(xb, w)
+        g_out = jax.grad(loss_fused, argnums=(0, 1))(xb, w)
+        for a, b_, name in zip(g_ref, g_out, ["xb", "w"]):
+            assert_close(f"island epilogue grad {name}", a, b_, 1e-4)
+
+
 class TestMHLA3DFusedPath:
     """Full MHLA3D layer: fused head-flat Pallas path (interpret) vs the
     einsum/rearrange fallback — same params, same outputs."""
