@@ -1,0 +1,124 @@
+"""GLA training-op benchmark: fused Pallas chunked GLA vs the jnp chunk form.
+
+The reference's GLA baseline is the fused Triton ``chunk_gla`` kernel
+(``mhla_nlp/fla/ops/gla/chunk.py:1014-1160``); here the fused path is the
+Pallas assembly in ``kernels/gla_chunk_pallas.py``. This bench produces the
+TPU throughput evidence for that path at the 32k north-star scenario
+(VERDICT r2 next-step #5): fused vs ``ops.gla_chunk`` (jnp), forward and
+fwd+bwd.
+
+Timing methodology per CLAUDE.md: chained iterations (output feeds q) closed
+by a host value read, two run lengths differenced, best-of-3.
+
+Usage: python benchmarks/gla_bench.py [--seq 32768] [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", type=int, default=32768)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--bwd", action="store_true", help="also time fwd+bwd")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mhla_tpu.kernels.gla_chunk_pallas import gla_chunk_fused
+    from mhla_tpu.ops.gla_chunk import gla_chunk
+
+    b, t, h, d = args.batch, args.seq, args.heads, args.dim
+    key = jax.random.PRNGKey(0)
+    q = jax.nn.relu(jax.random.normal(key, (b, t, h, d), jnp.bfloat16))
+    k = jax.nn.relu(
+        jax.random.normal(jax.random.PRNGKey(1), (b, t, h, d), jnp.bfloat16)
+    )
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, t, h, d), jnp.bfloat16)
+    # realistic log-decays in (-0.1, 0): e^g close to 1 like trained GLA gates
+    gk = -0.05 * jax.random.uniform(
+        jax.random.PRNGKey(3), (b, t, h, d), jnp.float32
+    )
+
+    # on-TPU value check at a smaller slice
+    ts = min(t, 4096)
+    o_pal, _ = gla_chunk_fused(
+        q[:, :ts], k[:, :ts], v[:, :ts], gk[:, :ts], chunk_size=args.chunk
+    )
+    o_ref, _ = gla_chunk(
+        q[:, :ts], k[:, :ts], v[:, :ts], gk[:, :ts], chunk_size=args.chunk
+    )
+    num = jnp.linalg.norm((o_pal - o_ref).astype(jnp.float32))
+    den = jnp.linalg.norm(o_ref.astype(jnp.float32)) + 1e-12
+    rel = float(num / den)
+    assert rel < 2e-2, f"fused/jnp mismatch: rel_rms={rel}"
+
+    def measure(f, n1=5, n2=None):
+        n2 = n2 or args.iters
+        y = f(q)
+        float(jnp.sum(jax.tree.leaves(y)[0].astype(jnp.float32)))
+
+        def run(n):
+            z = q
+            t0 = time.perf_counter()
+            for _ in range(n):
+                z = f(z)
+            float(jnp.sum(jax.tree.leaves(z)[0].astype(jnp.float32)))
+            return time.perf_counter() - t0
+
+        run(2)
+        return min((run(n2) - run(n1)) / (n2 - n1) for _ in range(3))
+
+    f_fused = jax.jit(
+        lambda x: jax.nn.relu(
+            gla_chunk_fused(x, k, v, gk, chunk_size=args.chunk)[0]
+        )
+    )
+    f_jnp = jax.jit(
+        lambda x: jax.nn.relu(gla_chunk(x, k, v, gk, chunk_size=args.chunk)[0])
+    )
+    t_fused = measure(f_fused)
+    t_jnp = measure(f_jnp)
+
+    out = {
+        "metric": "gla_fused_vs_jnp_speedup_32k",
+        "value": round(t_jnp / t_fused, 3),
+        "unit": "x",
+        "fused_ms": round(t_fused * 1e3, 3),
+        "jnp_ms": round(t_jnp * 1e3, 3),
+        "rel_rms": round(rel, 6),
+    }
+
+    if args.bwd:
+
+        def grad_fn(op):
+            def loss(x):
+                o, _ = op(x, k, v, gk, chunk_size=args.chunk)
+                return jnp.sum(o.astype(jnp.float32) ** 2) * 1e-6
+
+            g = jax.grad(loss)
+            return jax.jit(lambda x: jax.nn.relu(g(x)))
+
+        out["fused_fwdbwd_ms"] = round(measure(grad_fn(gla_chunk_fused)) * 1e3, 3)
+        out["jnp_fwdbwd_ms"] = round(measure(grad_fn(gla_chunk)) * 1e3, 3)
+
+    print(
+        f"[gla_bench] seq={t} fused={out['fused_ms']}ms jnp={out['jnp_ms']}ms "
+        f"speedup={out['value']}x rel_rms={rel:.2e}",
+        file=sys.stderr,
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

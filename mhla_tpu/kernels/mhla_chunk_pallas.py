@@ -33,6 +33,16 @@ HBM-traffic design (the op is bandwidth-bound at ~256 FLOP/byte ceiling):
 - Phase B runs as a 4x4 triangular-blocked GEMM: the strictly-upper blocks
   of tril(M) are all zero, so 6/16 of the dense N^2 FLOPs are skipped
   (measured 0.40 -> 0.28 ms at N=512) while each GEMM stays MXU-sized.
+- Forward roofline accounting at 32k/8h/128d bf16 (v5e ~810 GB/s): the
+  mandatory streams are q/k/v/o (268 MB), the states write+read (268 MB,
+  phase A out -> phase B in), the mixed write+read (268 MB, phase B out ->
+  phase C in), and phase C's second read of k/v (134 MB) — ~940 MB, a
+  ~1.15 ms forward floor. Deeper fusion cannot remove these: A+B fusion
+  needs strided sub-128-lane reads of k/v columns (measured 3x off
+  roofline for 256-byte DMA), B+C fusion re-reads the full states prefix
+  per supertile (O(N^2) traffic), and the learned mixing matrix is DENSE
+  triangular — no decay/product structure to turn phase B into a scan —
+  so the three-kernel split IS the bandwidth-optimal schedule.
 - The backward is a second Pallas kernel over the same supertile grid,
   recomputing the masked scores in VMEM (flash-style recompute; the
   reference's Triton GLA kernels make the same choice,
