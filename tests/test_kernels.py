@@ -248,6 +248,30 @@ class TestIslandKernelsInterpret:
         for a, b_, name in zip(g_ref, g_out, ["x", "gamma"]):
             assert_close(f"island prologue grad {name}", a, b_, 1e-4)
 
+    def test_prologue_odd_geometry(self, key):
+        """Wan-like geometry: non-power-of-2 block partitions (pf=1, ph=2,
+        pw=2, nw=10) exercise the w-slice indexing at realistic layouts."""
+        from mhla_tpu.kernels.mhla_block_pallas import (
+            blockify_island,
+            rope_tables_flat,
+        )
+
+        grid, layout, h, eps = (3, 10, 20), (3, 5, 10), 2, 1e-6
+        dim = 256
+        t = grid[0] * grid[1] * grid[2]
+        x = jax.random.normal(key, (1, t, dim), jnp.float32)
+        gamma = jax.random.normal(jax.random.PRNGKey(7), (dim,)) * 0.1 + 1.0
+        tables = rope_tables_flat(grid, dim // h, h)
+        ref_rope, ref_nope = self._oracle_prologue(
+            x, gamma, tables, grid, layout, h, eps, True
+        )
+        out, nope = blockify_island(
+            x, tables, gamma, grid, layout, h, eps, eps, None,
+            jnp.float32, True,
+        )
+        assert_close("island odd geometry", ref_rope, out, 1e-5)
+        assert_close("island odd geometry nope", ref_nope, nope, 1e-5)
+
     def test_epilogue_matches_composed(self, key):
         from mhla_tpu.kernels.mhla_block_pallas import (
             rms_norm_heads_flat,
@@ -306,8 +330,11 @@ class TestMHLA3DFusedPath:
     """Full MHLA3D layer: fused head-flat Pallas path (interpret) vs the
     einsum/rearrange fallback — same params, same outputs."""
 
-    @pytest.mark.parametrize("normalize_out", [False, True])
-    def test_paths_agree(self, key, normalize_out):
+    @pytest.mark.parametrize(
+        "normalize_out,island_dt",
+        [(False, None), (True, None), (False, "bfloat16")],
+    )
+    def test_paths_agree(self, key, normalize_out, island_dt):
         from mhla_tpu.kernels import mhla_chunk_pallas as mod
         from mhla_tpu.layers import MHLA3D
 
@@ -317,6 +344,7 @@ class TestMHLA3DFusedPath:
         layer = MHLA3D(
             dim=dim, num_heads=h, blocks_layout=(2, 2, 2),
             normalize_out=normalize_out, is_gated=True,
+            attn_compute_dtype=jnp.dtype(island_dt) if island_dt else None,
         )
         x = jax.random.normal(key, (1, t, dim))
         params = layer.init(jax.random.PRNGKey(1), x, grid)  # fallback path
@@ -326,7 +354,8 @@ class TestMHLA3DFusedPath:
             out = layer.apply(params, x, grid)  # fused path (interpret)
         finally:
             mod.FORCE_INTERPRET = False
-        assert_close(f"mhla3d fused(norm={normalize_out})", ref, out, 1e-5)
+        tol = 1e-5 if island_dt is None else 2e-2  # bf16 island rounding
+        assert_close(f"mhla3d fused(norm={normalize_out})", ref, out, tol)
 
     def test_fused_path_gradients(self, key):
         from mhla_tpu.kernels import mhla_chunk_pallas as mod
