@@ -40,6 +40,55 @@ def measure(f, args, n1=2, n2=6):
     return (run(n2) - run(n1)) / (n2 - n1)
 
 
+def layer_mode(args):
+    """Time one WanBlock forward per attention flavor at the bench scenario
+    (post-patchify grid) — attributes the full-model gap to layers."""
+    import jax
+    import jax.numpy as jnp
+
+    from mhla_tpu.models.wan import WanBlock, build_wan_config
+
+    grid = (args.frames, args.height // 2, args.width // 2)
+    t = grid[0] * grid[1] * grid[2]
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, t, 1536), jnp.bfloat16)
+    e0 = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 1536), jnp.float32) * 0.02
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 512, 1536), jnp.bfloat16) * 0.02
+
+    results = {}
+    for mode in ("mhla", "flash", "linear", "sparse"):
+        attn = {
+            "mhla": dict(linear_attn_idx=(0,), attn_type="mhla_uni"),
+            "linear": dict(linear_attn_idx=(0,), attn_type="linear"),
+            "flash": dict(linear_attn_idx=()),
+            "sparse": dict(
+                linear_attn_idx=(), sparse_attn_idx=(0,),
+                sparse_dense_from_t=None,
+            ),
+        }[mode]
+        cfg = build_wan_config(
+            "Wan_T2V_1300M",
+            rope_after=True, normalize_out=False, is_gated=True,
+            grid_adjust=True, remat=False, dtype=jnp.bfloat16,
+            attn_compute_dtype=jnp.bfloat16 if args.bf16_attn else None,
+            **attn,
+        )
+        block = WanBlock(cfg, 0)
+        # grid must stay static: close over it (e0/ctx are small constants)
+        params = jax.jit(lambda r, xx: block.init(r, xx, e0, ctx, grid))(
+            jax.random.PRNGKey(0), x
+        )
+        fwd = jax.jit(lambda p, xx: block.apply(p, xx, e0, ctx, grid))
+
+        def f(z, _t, _c):
+            return fwd(params, z)
+
+        dt = measure(f, (x, 0, ctx), n1=3, n2=9)
+        results[mode] = dt
+        print(f"[wan_bench --layer] {mode}: {dt*1e3:.2f} ms/block", flush=True)
+        del params
+    print(json.dumps({k: round(v * 1e3, 2) for k, v in results.items()}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--modes", default="hybrid,softmax,mhla")
@@ -48,12 +97,18 @@ def main():
     ap.add_argument("--width", type=int, default=100)
     ap.add_argument("--bf16_attn", action="store_true",
                     help="bf16 MHLA attention matmuls (fp32 accumulation)")
+    ap.add_argument("--layer", action="store_true",
+                    help="time ONE WanBlock per attention flavor instead of "
+                         "the full model (per-layer cost attribution)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from mhla_tpu.models.wan import WanModel, build_wan_config
+
+    if args.layer:
+        return layer_mode(args)
 
     hybrid_idx = tuple(i for i in range(30) if i % 3 != 0)  # 20/30 MHLA
     mode_cfg = {
