@@ -109,8 +109,11 @@ class GatedDeltaNet(nn.Module):
                 q, k, v, g, beta,
                 initial_state=init_s, output_final_state=use_cache,
             )
-        else:  # training path: chunked WY form (identical semantics)
-            o, s = gated_delta_chunk(
+        else:  # chunked WY form (fused Pallas forward on TPU; the jnp op
+            # is the semantic anchor and the fallback off-TPU)
+            from ..kernels.delta_chunk_pallas import gated_delta_chunk_fused
+
+            o, s = gated_delta_chunk_fused(
                 q, k, v, g, beta,
                 initial_state=init_s, output_final_state=use_cache,
             )

@@ -385,6 +385,64 @@ class TestMHLA3DFusedPath:
             assert_close(f"mhla3d fused grad leaf {i}", a, b_, 1e-4)
 
 
+class TestDeltaFused:
+    """Fused sequential-grid delta-rule forward vs the jnp WY op."""
+
+    @pytest.fixture(autouse=True)
+    def _force_interpret(self):
+        from mhla_tpu.kernels import mhla_chunk_pallas as mod
+
+        mod.FORCE_INTERPRET = True
+        yield
+        mod.FORCE_INTERPRET = False
+
+    def _inputs(self, key, b=2, t=300, h=2, d=128):
+        ks = jax.random.split(key, 5)
+        q = jax.random.normal(ks[0], (b, t, h, d))
+        k = jax.random.normal(ks[1], (b, t, h, d))
+        v = jax.random.normal(ks[2], (b, t, h, d))
+        g = -0.1 * jax.random.uniform(ks[3], (b, t, h))
+        beta = jax.nn.sigmoid(jax.random.normal(ks[4], (b, t, h)))
+        return q, k, v, g, beta
+
+    def test_forward_and_state_match_op(self, key):
+        from mhla_tpu.kernels.delta_chunk_pallas import gated_delta_chunk_fused
+        from mhla_tpu.ops.delta_rule import gated_delta_chunk
+
+        q, k, v, g, beta = self._inputs(key, t=300)  # odd length: padding
+        o_ref, s_ref = gated_delta_chunk(
+            q, k, v, g, beta, chunk_size=64, output_final_state=True
+        )
+        o_out, s_out = gated_delta_chunk_fused(
+            q, k, v, g, beta, chunk_size=64, output_final_state=True
+        )
+        assert_close("delta fused fwd", o_ref, o_out, 1e-4)
+        assert_close("delta fused state", s_ref, s_out, 1e-4)
+
+    def test_initial_state_and_grads(self, key):
+        from mhla_tpu.kernels.delta_chunk_pallas import gated_delta_chunk_fused
+        from mhla_tpu.ops.delta_rule import gated_delta_chunk
+
+        q, k, v, g, beta = self._inputs(key, b=1, t=128)
+        s0 = jax.random.normal(jax.random.PRNGKey(9), (1, 2, 128, 128)) * 0.1
+        o_ref, _ = gated_delta_chunk(q, k, v, g, beta, initial_state=s0)
+        o_out, _ = gated_delta_chunk_fused(q, k, v, g, beta, initial_state=s0)
+        assert_close("delta fused init-state fwd", o_ref, o_out, 1e-4)
+
+        def loss(op, *args):
+            o, _ = op(*args, initial_state=s0)
+            return jnp.sum(jnp.cos(o))
+
+        g_ref = jax.grad(
+            lambda *a: loss(gated_delta_chunk, *a), argnums=(0, 1, 2, 3, 4)
+        )(q, k, v, g, beta)
+        g_out = jax.grad(
+            lambda *a: loss(gated_delta_chunk_fused, *a), argnums=(0, 1, 2, 3, 4)
+        )(q, k, v, g, beta)
+        for a, b_, name in zip(g_ref, g_out, ["q", "k", "v", "g", "beta"]):
+            assert_close(f"delta fused grad {name}", a, b_, 1e-4)
+
+
 class TestGLAFused:
     """Fused GLA (MHLA kernels + decay recurrence) vs the jnp op."""
 
