@@ -10,7 +10,12 @@ fwd+bwd.
 Timing methodology per CLAUDE.md: chained iterations (output feeds q) closed
 by a host value read, two run lengths differenced, best-of-3.
 
-Usage: python benchmarks/gla_bench.py [--seq 32768] [--iters 20]
+``--op delta`` benchmarks the gated delta rule instead: the fused
+sequential-grid Pallas forward (``kernels/delta_chunk_pallas.py``) vs the
+chunked WY jnp op (``ops/delta_rule.py``; reference Triton counterpart
+``mhla_nlp/fla/ops/gated_delta_rule/chunk.py``).
+
+Usage: python benchmarks/gla_bench.py [--op gla|delta] [--seq 32768]
 """
 
 from __future__ import annotations
@@ -30,13 +35,11 @@ def main():
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--bwd", action="store_true", help="also time fwd+bwd")
+    ap.add_argument("--op", choices=("gla", "delta"), default="gla")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
-
-    from mhla_tpu.kernels.gla_chunk_pallas import gla_chunk_fused
-    from mhla_tpu.ops.gla_chunk import gla_chunk
 
     b, t, h, d = args.batch, args.seq, args.heads, args.dim
     key = jax.random.PRNGKey(0)
@@ -50,14 +53,50 @@ def main():
         jax.random.PRNGKey(3), (b, t, h, d), jnp.float32
     )
 
+    if args.op == "delta":
+        from mhla_tpu.kernels.delta_chunk_pallas import (
+            gated_delta_chunk_fused,
+        )
+        from mhla_tpu.ops.delta_rule import gated_delta_chunk
+
+        g1 = gk[..., 0]  # [B, T, H] per-head log decay
+        beta = jax.nn.sigmoid(
+            jax.random.normal(jax.random.PRNGKey(4), (b, t, h), jnp.float32)
+        )
+
+        def fused_op(q_, k_, v_):
+            tt = q_.shape[1]
+            return gated_delta_chunk_fused(
+                q_, k_, v_, g1[:, :tt], beta[:, :tt], chunk_size=args.chunk
+            )
+
+        def jnp_op(q_, k_, v_):
+            tt = q_.shape[1]
+            return gated_delta_chunk(
+                q_, k_, v_, g1[:, :tt], beta[:, :tt], chunk_size=args.chunk
+            )
+
+        metric = "delta_fused_vs_jnp_speedup_32k"
+    else:
+        from mhla_tpu.kernels.gla_chunk_pallas import gla_chunk_fused
+        from mhla_tpu.ops.gla_chunk import gla_chunk
+
+        def fused_op(q_, k_, v_):
+            tt = q_.shape[1]
+            return gla_chunk_fused(
+                q_, k_, v_, gk[:, :tt], chunk_size=args.chunk
+            )
+
+        def jnp_op(q_, k_, v_):
+            tt = q_.shape[1]
+            return gla_chunk(q_, k_, v_, gk[:, :tt], chunk_size=args.chunk)
+
+        metric = "gla_fused_vs_jnp_speedup_32k"
+
     # on-TPU value check at a smaller slice
     ts = min(t, 4096)
-    o_pal, _ = gla_chunk_fused(
-        q[:, :ts], k[:, :ts], v[:, :ts], gk[:, :ts], chunk_size=args.chunk
-    )
-    o_ref, _ = gla_chunk(
-        q[:, :ts], k[:, :ts], v[:, :ts], gk[:, :ts], chunk_size=args.chunk
-    )
+    o_pal, _ = fused_op(q[:, :ts], k[:, :ts], v[:, :ts])
+    o_ref, _ = jnp_op(q[:, :ts], k[:, :ts], v[:, :ts])
     num = jnp.linalg.norm((o_pal - o_ref).astype(jnp.float32))
     den = jnp.linalg.norm(o_ref.astype(jnp.float32)) + 1e-12
     rel = float(num / den)
@@ -79,19 +118,13 @@ def main():
         run(2)
         return min((run(n2) - run(n1)) / (n2 - n1) for _ in range(3))
 
-    f_fused = jax.jit(
-        lambda x: jax.nn.relu(
-            gla_chunk_fused(x, k, v, gk, chunk_size=args.chunk)[0]
-        )
-    )
-    f_jnp = jax.jit(
-        lambda x: jax.nn.relu(gla_chunk(x, k, v, gk, chunk_size=args.chunk)[0])
-    )
+    f_fused = jax.jit(lambda x: jax.nn.relu(fused_op(x, k, v)[0]))
+    f_jnp = jax.jit(lambda x: jax.nn.relu(jnp_op(x, k, v)[0]))
     t_fused = measure(f_fused)
     t_jnp = measure(f_jnp)
 
     out = {
-        "metric": "gla_fused_vs_jnp_speedup_32k",
+        "metric": metric,
         "value": round(t_jnp / t_fused, 3),
         "unit": "x",
         "fused_ms": round(t_fused * 1e3, 3),
@@ -103,17 +136,18 @@ def main():
 
         def grad_fn(op):
             def loss(x):
-                o, _ = op(x, k, v, gk, chunk_size=args.chunk)
+                o, _ = op(x, k, v)
                 return jnp.sum(o.astype(jnp.float32) ** 2) * 1e-6
 
             g = jax.grad(loss)
             return jax.jit(lambda x: jax.nn.relu(g(x)))
 
-        out["fused_fwdbwd_ms"] = round(measure(grad_fn(gla_chunk_fused)) * 1e3, 3)
-        out["jnp_fwdbwd_ms"] = round(measure(grad_fn(gla_chunk)) * 1e3, 3)
+        out["fused_fwdbwd_ms"] = round(measure(grad_fn(fused_op)) * 1e3, 3)
+        out["jnp_fwdbwd_ms"] = round(measure(grad_fn(jnp_op)) * 1e3, 3)
 
     print(
-        f"[gla_bench] seq={t} fused={out['fused_ms']}ms jnp={out['jnp_ms']}ms "
+        f"[gla_bench op={args.op}] seq={t} "
+        f"fused={out['fused_ms']}ms jnp={out['jnp_ms']}ms "
         f"speedup={out['value']}x rel_rms={rel:.2e}",
         file=sys.stderr,
     )

@@ -430,7 +430,29 @@ class TestDeltaFused:
         assert_close("delta fused init-state fwd", o_ref, o_out, 1e-4)
 
         def loss(op, *args):
-            o, _ = op(*args, initial_state=s0)
+            # weigh the final state too, so the ds0/dS chain is exercised
+            o, s = op(*args[:5], initial_state=args[5], output_final_state=True)
+            return jnp.sum(jnp.cos(o)) + jnp.sum(jnp.sin(s))
+
+        g_ref = jax.grad(
+            lambda *a: loss(gated_delta_chunk, *a), argnums=tuple(range(6))
+        )(q, k, v, g, beta, s0)
+        g_out = jax.grad(
+            lambda *a: loss(gated_delta_chunk_fused, *a),
+            argnums=tuple(range(6)),
+        )(q, k, v, g, beta, s0)
+        for a, b_, name in zip(g_ref, g_out, ["q", "k", "v", "g", "beta", "s0"]):
+            assert_close(f"delta fused grad {name}", a, b_, 1e-4)
+
+    def test_grads_with_padding(self, key):
+        """Odd length: the backward must keep padded-tail cotangents out."""
+        from mhla_tpu.kernels.delta_chunk_pallas import gated_delta_chunk_fused
+        from mhla_tpu.ops.delta_rule import gated_delta_chunk
+
+        q, k, v, g, beta = self._inputs(key, b=1, t=200)
+
+        def loss(op, *args):
+            o, _ = op(*args)
             return jnp.sum(jnp.cos(o))
 
         g_ref = jax.grad(
@@ -440,7 +462,7 @@ class TestDeltaFused:
             lambda *a: loss(gated_delta_chunk_fused, *a), argnums=(0, 1, 2, 3, 4)
         )(q, k, v, g, beta)
         for a, b_, name in zip(g_ref, g_out, ["q", "k", "v", "g", "beta"]):
-            assert_close(f"delta fused grad {name}", a, b_, 1e-4)
+            assert_close(f"delta fused pad grad {name}", a, b_, 1e-4)
 
 
 class TestGLAFused:
