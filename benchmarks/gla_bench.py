@@ -103,7 +103,7 @@ def main():
     assert rel < 2e-2, f"fused/jnp mismatch: rel_rms={rel}"
 
     def measure(f, n1=5, n2=None):
-        n2 = n2 or args.iters
+        n2 = n2 or max(args.iters, n1 + 1)  # difference needs n2 > n1
         y = f(q)
         float(jnp.sum(jax.tree.leaves(y)[0].astype(jnp.float32)))
 
