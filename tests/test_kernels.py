@@ -396,11 +396,11 @@ class TestDeltaFused:
         yield
         mod.FORCE_INTERPRET = False
 
-    def _inputs(self, key, b=2, t=300, h=2, d=128):
+    def _inputs(self, key, b=2, t=300, h=2, d=128, dv=None):
         ks = jax.random.split(key, 5)
         q = jax.random.normal(ks[0], (b, t, h, d))
         k = jax.random.normal(ks[1], (b, t, h, d))
-        v = jax.random.normal(ks[2], (b, t, h, d))
+        v = jax.random.normal(ks[2], (b, t, h, dv or d))
         g = -0.1 * jax.random.uniform(ks[3], (b, t, h))
         beta = jax.nn.sigmoid(jax.random.normal(ks[4], (b, t, h)))
         return q, k, v, g, beta
@@ -443,6 +443,34 @@ class TestDeltaFused:
         )(q, k, v, g, beta, s0)
         for a, b_, name in zip(g_ref, g_out, ["q", "k", "v", "g", "beta", "s0"]):
             assert_close(f"delta fused grad {name}", a, b_, 1e-4)
+
+    def test_asymmetric_dims_and_chunk(self, key):
+        """GDN-style dv = 2*dk geometry at a non-default chunk size."""
+        from mhla_tpu.kernels.delta_chunk_pallas import gated_delta_chunk_fused
+        from mhla_tpu.ops.delta_rule import gated_delta_chunk
+
+        q, k, v, g, beta = self._inputs(key, b=1, t=160, d=128, dv=256)
+        o_ref, s_ref = gated_delta_chunk(
+            q, k, v, g, beta, chunk_size=32, output_final_state=True
+        )
+        o_out, s_out = gated_delta_chunk_fused(
+            q, k, v, g, beta, chunk_size=32, output_final_state=True
+        )
+        assert_close("delta fused dv!=dk fwd", o_ref, o_out, 1e-4)
+        assert_close("delta fused dv!=dk state", s_ref, s_out, 1e-4)
+
+        def loss(op, *args):
+            o, _ = op(*args, chunk_size=32)
+            return jnp.sum(jnp.cos(o))
+
+        g_ref = jax.grad(
+            lambda *a: loss(gated_delta_chunk, *a), argnums=(1, 2, 3)
+        )(q, k, v, g, beta)
+        g_out = jax.grad(
+            lambda *a: loss(gated_delta_chunk_fused, *a), argnums=(1, 2, 3)
+        )(q, k, v, g, beta)
+        for a, b_, name in zip(g_ref, g_out, ["k", "v", "g"]):
+            assert_close(f"delta fused dv!=dk grad {name}", a, b_, 1e-4)
 
     def test_grads_with_padding(self, key):
         """Odd length: the backward must keep padded-tail cotangents out."""
