@@ -7,6 +7,14 @@
   ``power`` sharpening with norm preservation, optional RoPE after the
   kernel, normalizer from the *mean* key (``wan/model.py:290-426``,
   rope_after branch :360-400).
+- MLLA legacy baselines (``wan/model.py:1391-1530``): ``mlla='linear'`` /
+  ``mlla='lepe'`` modes adding the :class:`STConv3D` SiLU pre-transform,
+  the relu (resp. elu+1) kernel with the reference's rope ordering, and —
+  for lepe — an STConv positional branch on v. The reference's
+  ``attn_matmul`` PAD_VAL trick (pad v with a ones row so one matmul chain
+  yields output and normalizer together) is exactly the sum-key
+  normalizer, i.e. :func:`linear_attention` (golden-tested against the
+  pad formulation in ``tests/test_layers.py``).
 
 These exist for parity/ablation: the reference shows plain linear attention
 collapses at video scale (README table) — MHLA is the fix.
@@ -14,7 +22,7 @@ collapses at video scale (README table) — MHLA is the fix.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +68,38 @@ class LinearAttention2D(nn.Module):
         return nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="to_out")(out)
 
 
+class STConv3D(nn.Module):
+    """Depthwise spatial 3x3 then depthwise temporal 3 conv over a video
+    token grid (reference ``STConv``, ``wan/model.py:1391-1406``). Input
+    [B, F*H*W, C] (F-major raster) + static grid; NHWC depthwise convs —
+    channel-minor layouts keep the 8x128 VPU lanes full on TPU."""
+
+    dim: int
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, grid: Tuple[int, int, int]) -> jax.Array:
+        b = x.shape[0]
+        f, hh, ww = grid
+        c = self.dim
+        ks = self.kernel_size
+        x5 = x.reshape(b * f, hh, ww, c)
+        x5 = nn.Conv(
+            features=c, kernel_size=(ks, ks), padding="SAME",
+            feature_group_count=c, dtype=self.dtype, name="spatial_conv",
+        )(x5)
+        # [B, F, H, W, C] -> [B*H*W, F, C] for the temporal depthwise conv
+        xt = x5.reshape(b, f, hh * ww, c).swapaxes(1, 2).reshape(b * hh * ww, f, c)
+        xt = nn.Conv(
+            features=c, kernel_size=(ks,), padding="SAME",
+            feature_group_count=c, dtype=self.dtype, name="temporal_conv",
+        )(xt)
+        return (
+            xt.reshape(b, hh * ww, f, c).swapaxes(1, 2).reshape(b, f * hh * ww, c)
+        )
+
+
 class WanLinearAttention(nn.Module):
     dim: int
     num_heads: int = 12
@@ -67,6 +107,7 @@ class WanLinearAttention(nn.Module):
     rope_after: bool = True
     without_rope: bool = False
     power: float = 1.0
+    mlla: Optional[str] = None  # None | 'linear' | 'lepe' (legacy baselines)
     eps: float = 1e-6
     rope_theta: float = 10000.0
     rope_max_pos: int = 1024
@@ -82,6 +123,12 @@ class WanLinearAttention(nn.Module):
         dense = lambda name: nn.Dense(  # noqa: E731
             self.dim, use_bias=True, dtype=self.dtype, name=name
         )
+        if self.mlla is not None:
+            # MLLA pre-transform: SiLU(STConv(x)) REPLACES the token stream
+            # (reference mllalinear/mllalepe fwd, model.py:1430-1432)
+            x = jax.nn.silu(
+                STConv3D(dim=self.dim, dtype=self.dtype, name="st_conv")(x, grid)
+            )
         q, k, v = dense("q")(x), dense("k")(x), dense("v")(x)
         if self.qk_norm:
             q = RMSNorm(name="norm_q", eps=self.eps)(q)
@@ -101,7 +148,26 @@ class WanLinearAttention(nn.Module):
             zp = z**self.power
             return zp / (jnp.linalg.norm(zp, axis=-1, keepdims=True) + 1e-6) * norm
 
-        if self.rope_after:
+        if self.mlla == "lepe":
+            # elu+1 kernel BEFORE rope, sum-key normalizer over roped q/k
+            # (reference MLLALePEAttention, model.py:1463-1530)
+            q = jax.nn.elu(q) + 1.0
+            k = jax.nn.elu(k) + 1.0
+            out = linear_attention(
+                apply_rotary_3d_halves(q, angles),
+                apply_rotary_3d_halves(k, angles),
+                v,
+                self.eps,
+            )
+        elif self.mlla == "linear" or not self.rope_after:
+            # rope BEFORE the relu kernel, sum-key normalizer
+            # (base rope_after=False branch ≡ MLLALinearAttention's order)
+            q = apply_rotary_3d_halves(q, angles)
+            k = apply_rotary_3d_halves(k, angles)
+            q, k = jax.nn.relu(q), jax.nn.relu(k)
+            q, k = sharpen(q), sharpen(k)
+            out = linear_attention(q, k, v, self.eps)
+        else:
             q, k = jax.nn.relu(q), jax.nn.relu(k)
             q, k = sharpen(q), sharpen(k)
             q_rope = q if self.without_rope else apply_rotary_3d_halves(q, angles)
@@ -112,12 +178,12 @@ class WanLinearAttention(nn.Module):
             )
             kv = jnp.einsum("bthk,bthv->bhkv", k_rope, v) / t
             out = jnp.einsum("bthk,bhkv->bthv", q_rope, kv) * z[..., None]
-        else:
-            q = apply_rotary_3d_halves(q, angles)
-            k = apply_rotary_3d_halves(k, angles)
-            q, k = jax.nn.relu(q), jax.nn.relu(k)
-            q, k = sharpen(q), sharpen(k)
-            out = linear_attention(q, k, v, self.eps)
 
         out = out.astype(x.dtype).reshape(b, t, self.dim)
+        if self.mlla == "lepe":
+            # positional branch: depthwise STConv over v, summed pre-o_proj
+            lepe = STConv3D(dim=self.dim, dtype=self.dtype, name="lepe_conv")(
+                v.astype(x.dtype).reshape(b, t, self.dim), grid
+            )
+            out = out + lepe
         return dense("o")(out)

@@ -68,7 +68,7 @@ class WanConfig:
     eps: float = 1e-6
     # hybrid schedule
     linear_attn_idx: Optional[Tuple[int, ...]] = None
-    attn_type: str = "mhla_uni"  # mhla_uni | linear | flash
+    attn_type: str = "mhla_uni"  # mhla_uni | linear | mllalinear | mllalepe | flash
     # radial block-sparse schedule: listed softmax layers run splash-kernel
     # sparse attention under the n-log-n frame-distance mask (reference
     # ``model.py:258-281`` flex/bsa path). At inference, timesteps >=
@@ -264,13 +264,14 @@ class WanBlock(nn.Module):
                 attn_compute_dtype=cfg.attn_compute_dtype,
                 name="self_attn",
             )(h, grid, rope_tables)
-        elif attn_type == "linear":
+        elif attn_type in ("linear", "mllalinear", "mllalepe"):
             h = WanLinearAttention(
                 dim=cfg.dim,
                 num_heads=cfg.num_heads,
                 qk_norm=cfg.qk_norm,
                 rope_after=cfg.rope_after,
                 without_rope=cfg.without_rope,
+                mlla={"mllalinear": "linear", "mllalepe": "lepe"}.get(attn_type),
                 eps=cfg.eps,
                 dtype=cfg.dtype,
                 name="self_attn",

@@ -193,6 +193,93 @@ class TestBaselines:
         y, _ = layer.init_with_output(key, x, (2, 4, 6))
         assert y.shape == (1, 48, 48)
 
+    @pytest.mark.parametrize("mode", ["linear", "lepe"])
+    def test_mlla_modes(self, key, mode):
+        """Legacy MLLA baselines (reference model.py:1408-1530): STConv
+        pre-transform + relu/elu+1 kernels (+ LePE conv on v for 'lepe')."""
+        layer = WanLinearAttention(dim=48, num_heads=4, mlla=mode, rope_after=False)
+        x = jax.random.normal(key, (1, 2 * 4 * 6, 48))
+        y, params = layer.init_with_output(key, x, (2, 4, 6))
+        assert y.shape == (1, 48, 48)
+        assert bool(jnp.isfinite(y).all())
+        names = set(params["params"].keys())
+        assert "st_conv" in names
+        assert ("lepe_conv" in names) == (mode == "lepe")
+
+    def test_attn_matmul_pad_trick_golden(self, key):
+        """Our sum-key-normalized linear_attention equals the reference's
+        attn_matmul PAD_VAL formulation (wan/model.py:304-321): pad v with a
+        ones row so one matmul chain yields output and normalizer."""
+        torch = pytest.importorskip("torch")
+        from mhla_tpu.layers.linear_attn import linear_attention
+
+        b, t, h, d = 2, 10, 3, 8
+        ks = jax.random.split(key, 3)
+        q = jax.nn.relu(jax.random.normal(ks[0], (b, t, h, d)))
+        k = jax.nn.relu(jax.random.normal(ks[1], (b, t, h, d)))
+        v = jax.random.normal(ks[2], (b, t, h, d))
+        ours = linear_attention(q, k, v, eps=1e-6)
+
+        # reference layout: q [b, h, h_d, n], k [b, h, n, h_d], v [b, h, h_d, n]
+        qt = torch.tensor(np.asarray(q)).permute(0, 2, 3, 1)
+        kt = torch.tensor(np.asarray(k)).permute(0, 2, 1, 3)
+        vt = torch.tensor(np.asarray(v)).permute(0, 2, 3, 1)
+        vp = torch.nn.functional.pad(vt, (0, 0, 0, 1), value=1.0)
+        out = torch.matmul(torch.matmul(vp, kt), qt)  # [b, h, h_d+1, n]
+        ref = (out[:, :, :-1] / (out[:, :, -1:] + 1e-6)).permute(0, 3, 1, 2)
+        assert_close("pad-trick normalizer", np.asarray(ref), ours, 1e-5)
+
+    def test_stconv_golden_vs_torch(self, key):
+        """STConv3D matches the reference's depthwise spatial+temporal conv
+        chain (wan/model.py:1391-1406) with copied weights."""
+        torch = pytest.importorskip("torch")
+        from mhla_tpu.layers.linear_attn import STConv3D
+
+        b, f, hh, ww, c = 1, 3, 4, 5, 6
+        x = jax.random.normal(key, (b, f * hh * ww, c))
+        layer = STConv3D(dim=c)
+        params = layer.init(key, x, (f, hh, ww))
+        y = layer.apply(params, x, (f, hh, ww))
+
+        sp = torch.nn.Conv2d(c, c, 3, 1, 1, groups=c)
+        tp = torch.nn.Conv1d(c, c, 3, 1, 1, groups=c)
+        p = params["params"]
+        with torch.no_grad():
+            sp.weight.copy_(
+                torch.tensor(
+                    np.asarray(p["spatial_conv"]["kernel"])
+                ).permute(3, 2, 0, 1)
+            )
+            sp.bias.copy_(torch.tensor(np.asarray(p["spatial_conv"]["bias"])))
+            tp.weight.copy_(
+                torch.tensor(
+                    np.asarray(p["temporal_conv"]["kernel"])
+                ).permute(2, 1, 0)
+            )
+            tp.bias.copy_(torch.tensor(np.asarray(p["temporal_conv"]["bias"])))
+        # reference forward: [B,C,T,H,W] -> spatial on B*T -> temporal on B*H*W
+        xt = (
+            torch.tensor(np.asarray(x))
+            .reshape(b, f, hh, ww, c)
+            .permute(0, 4, 1, 2, 3)
+        )
+        z = xt.permute(0, 2, 1, 3, 4).reshape(b * f, c, hh, ww)
+        z = sp(z)
+        z = (
+            z.reshape(b, f, c, hh, ww)
+            .permute(0, 3, 4, 2, 1)
+            .reshape(b * hh * ww, c, f)
+        )
+        z = tp(z)
+        ref = (
+            z.reshape(b, hh, ww, c, f)
+            .permute(0, 4, 1, 2, 3)  # [B, F, H, W, C]... (C last below)
+            .reshape(b, f, hh, ww, c)
+        )
+        with torch.no_grad():
+            ref_np = ref.numpy().reshape(b, f * hh * ww, c)
+        assert_close("stconv golden", ref_np, y, 1e-5)
+
 
 class TestHeadFlatEquivalence:
     """Flat-layout building blocks match their [B,T,H,D]-view counterparts
