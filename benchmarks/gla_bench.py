@@ -63,40 +63,34 @@ def main():
         beta = jax.nn.sigmoid(
             jax.random.normal(jax.random.PRNGKey(4), (b, t, h), jnp.float32)
         )
+        extra = (k, v, g1, beta)
 
-        def fused_op(q_, k_, v_):
-            tt = q_.shape[1]
-            return gated_delta_chunk_fused(
-                q_, k_, v_, g1[:, :tt], beta[:, :tt], chunk_size=args.chunk
-            )
+        def fused_op(q_, *arrs):
+            return gated_delta_chunk_fused(q_, *arrs, chunk_size=args.chunk)
 
-        def jnp_op(q_, k_, v_):
-            tt = q_.shape[1]
-            return gated_delta_chunk(
-                q_, k_, v_, g1[:, :tt], beta[:, :tt], chunk_size=args.chunk
-            )
+        def jnp_op(q_, *arrs):
+            return gated_delta_chunk(q_, *arrs, chunk_size=args.chunk)
 
         metric = "delta_fused_vs_jnp_speedup_32k"
     else:
         from mhla_tpu.kernels.gla_chunk_pallas import gla_chunk_fused
         from mhla_tpu.ops.gla_chunk import gla_chunk
 
-        def fused_op(q_, k_, v_):
-            tt = q_.shape[1]
-            return gla_chunk_fused(
-                q_, k_, v_, gk[:, :tt], chunk_size=args.chunk
-            )
+        extra = (k, v, gk)
 
-        def jnp_op(q_, k_, v_):
-            tt = q_.shape[1]
-            return gla_chunk(q_, k_, v_, gk[:, :tt], chunk_size=args.chunk)
+        def fused_op(q_, *arrs):
+            return gla_chunk_fused(q_, *arrs, chunk_size=args.chunk)
+
+        def jnp_op(q_, *arrs):
+            return gla_chunk(q_, *arrs, chunk_size=args.chunk)
 
         metric = "gla_fused_vs_jnp_speedup_32k"
 
     # on-TPU value check at a smaller slice
     ts = min(t, 4096)
-    o_pal, _ = fused_op(q[:, :ts], k[:, :ts], v[:, :ts])
-    o_ref, _ = jnp_op(q[:, :ts], k[:, :ts], v[:, :ts])
+    sliced = tuple(a[:, :ts] for a in extra)
+    o_pal, _ = fused_op(q[:, :ts], *sliced)
+    o_ref, _ = jnp_op(q[:, :ts], *sliced)
     num = jnp.linalg.norm((o_pal - o_ref).astype(jnp.float32))
     den = jnp.linalg.norm(o_ref.astype(jnp.float32)) + 1e-12
     rel = float(num / den)
@@ -118,10 +112,14 @@ def main():
         run(2)
         return min((run(n2) - run(n1)) / (n2 - n1) for _ in range(3))
 
-    f_fused = jax.jit(lambda x: jax.nn.relu(fused_op(x, k, v)[0]))
-    f_jnp = jax.jit(lambda x: jax.nn.relu(jnp_op(x, k, v)[0]))
-    t_fused = measure(f_fused)
-    t_jnp = measure(f_jnp)
+    # every big array is a jit ARGUMENT (closures bake them into the HLO as
+    # constants -> compile stalls on the relay; CLAUDE.md rule)
+    def jit_fwd(op):
+        f = jax.jit(lambda x, *arrs: jax.nn.relu(op(x, *arrs)[0]))
+        return lambda x: f(x, *extra)
+
+    t_fused = measure(jit_fwd(fused_op))
+    t_jnp = measure(jit_fwd(jnp_op))
 
     out = {
         "metric": metric,
@@ -135,12 +133,14 @@ def main():
     if args.bwd:
 
         def grad_fn(op):
-            def loss(x):
-                o, _ = op(x, k, v)
+            def loss(x, *arrs):
+                o, _ = op(x, *arrs)
                 return jnp.sum(o.astype(jnp.float32) ** 2) * 1e-6
 
-            g = jax.grad(loss)
-            return jax.jit(lambda x: jax.nn.relu(g(x)))
+            g = jax.jit(
+                lambda x, *arrs: jax.nn.relu(jax.grad(loss)(x, *arrs))
+            )
+            return lambda x: g(x, *extra)
 
         out["fused_fwdbwd_ms"] = round(measure(grad_fn(fused_op)) * 1e3, 3)
         out["jnp_fwdbwd_ms"] = round(measure(grad_fn(jnp_op)) * 1e3, 3)

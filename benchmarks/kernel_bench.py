@@ -49,7 +49,7 @@ def main():
     m = init_causal_mixing_matrix(t // args.chunk)
 
     def measure(fn, n1=5, n2=None):
-        n2 = n2 or args.iters
+        n2 = n2 or max(args.iters, n1 + 1)  # difference needs n2 > n1
         y = fn(q)
         float(jnp.sum(y.astype(jnp.float32)))  # compile + warm
 
@@ -64,12 +64,16 @@ def main():
         run(2)  # settle post-compile relay outliers
         return min((run(n2) - run(n1)) / (n2 - n1) for _ in range(3))
 
-    fwd = jax.jit(
-        lambda x: jax.nn.relu(
-            mhla_chunk_fused_flat(x, k, v, m, num_heads=h, chunk_size=args.chunk)[0]
+    # k/v/m are jit ARGUMENTS — closing over them bakes 64 MB streams into
+    # the HLO as constants (compile stalls on the relay; CLAUDE.md rule)
+    fwd_j = jax.jit(
+        lambda x, kk, vv, mm: jax.nn.relu(
+            mhla_chunk_fused_flat(
+                x, kk, vv, mm, num_heads=h, chunk_size=args.chunk
+            )[0]
         )
     )
-    t_fwd = measure(fwd)
+    t_fwd = measure(lambda x: fwd_j(x, k, v, m))
     # bandwidth-model utilization: ~940 MB of mandatory streams at 32k
     streams_mb = (4 * q.size + 4 * (t // args.chunk) * f * d) * 2 / 1e6
     out = {
@@ -81,14 +85,18 @@ def main():
 
     if args.bwd:
 
-        def loss(x):
+        def loss(x, kk, vv, mm):
             o, _ = mhla_chunk_fused_flat(
-                x, k, v, m, num_heads=h, chunk_size=args.chunk
+                x, kk, vv, mm, num_heads=h, chunk_size=args.chunk
             )
             return jnp.sum(o.astype(jnp.float32) ** 2) * 1e-6
 
-        g = jax.grad(loss)
-        out["fwdbwd_ms"] = round(measure(jax.jit(lambda x: jax.nn.relu(g(x)))) * 1e3, 3)
+        g_j = jax.jit(
+            lambda x, kk, vv, mm: jax.nn.relu(jax.grad(loss)(x, kk, vv, mm))
+        )
+        out["fwdbwd_ms"] = round(
+            measure(lambda x: g_j(x, k, v, m)) * 1e3, 3
+        )
 
     print(
         f"[kernel_bench] seq={t} fwd={out['value']}ms"

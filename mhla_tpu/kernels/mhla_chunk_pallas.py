@@ -457,9 +457,16 @@ def _mix_bwd_fused_pallas(m_t, dout, states4):
     # fixed 128-row bands instead of halving: the largest band's fp32 GEMM
     # transient ([band, rtile*Dv]) is what tips this kernel over the 16 MB
     # scoped-vmem limit (measured 16.02M with a 256-row band), and the
-    # finer split also trims wasted triangle FLOPs (same measured speed)
+    # finer split also trims wasted triangle FLOPs (same measured speed).
+    # Clamp the last band so the bands tile [0, n) exactly for ANY n —
+    # a fixed stride from n-step leaves rows uncovered when n % step != 0
+    # (n=192: silently-missing dstates rows / dm bands).
     step = min(128, n)
-    bands_lo = [(lo, lo + step) for lo in range(n - step, -1, -step)]
+    bands_lo, hi = [], n
+    while hi > 0:
+        lo = max(0, hi - step)
+        bands_lo.append((lo, hi))
+        hi = lo
     bands_up = [(n - hi, n - lo) for lo, hi in bands_lo]
     row = pl.BlockSpec((1, n, rtile, dv), lambda bi, fi: (bi, 0, fi, 0))
     flops = (

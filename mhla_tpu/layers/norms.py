@@ -85,10 +85,11 @@ class GatedRMSNormHeadsFlat(nn.Module):
             jnp.arange(fdim)[:, None] // dh
             == jnp.arange(self.num_heads)[None, :]
         ).astype(x.dtype)  # [F, H]
-        # stats in fp32 (tiny [B,T,H]); the wide elementwise stream stays in
-        # the input dtype — materializing fp32 [B,T,F] temporaries measured
-        # +5 ms/step on the 340M train step
-        ss = jnp.einsum("btf,fh->bth", x * x, seg, preferred_element_type=f32)
+        # stats in fp32 (tiny [B,T,H]); the 3-operand einsum squares INSIDE
+        # the fp32 accumulation (exact bf16*bf16 products on the MXU) — a
+        # separate `x * x` would round each square to the input dtype, and
+        # materializing fp32 [B,T,F] temporaries measured +5 ms/step
+        ss = jnp.einsum("btf,btf,fh->bth", x, x, seg, preferred_element_type=f32)
         inv = jax.lax.rsqrt(ss / dh + self.eps)
         scale = inv.astype(x.dtype)
         if self.elementwise_affine:
@@ -119,7 +120,7 @@ class RMSNormHeadsFlat(nn.Module):
             jnp.arange(fdim)[:, None] // dh
             == jnp.arange(self.num_heads)[None, :]
         ).astype(x.dtype)
-        ss = jnp.einsum("btf,fh->bth", x * x, seg, preferred_element_type=f32)
+        ss = jnp.einsum("btf,btf,fh->bth", x, x, seg, preferred_element_type=f32)
         inv = jax.lax.rsqrt(ss / dh + self.eps)
         y = x * jnp.einsum("bth,fh->btf", inv.astype(x.dtype), seg)
         if self.elementwise_affine:

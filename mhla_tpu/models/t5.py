@@ -298,12 +298,15 @@ class T5TextEncoder:
             tokenizer_name, seq_len=text_len, clean="whitespace"
         )
         enc = T5Encoder(self.cfg)
+        # params are a jit ARGUMENT: closing over them would bake the full
+        # encoder (umt5-xxl: ~5.9B params) into the HLO as constants —
+        # pathological compile + doubled device memory (CLAUDE.md rule)
         self._apply = jax.jit(
-            lambda ids, mask: enc.apply(self.params, ids, mask)
+            lambda p, ids, mask: enc.apply(p, ids, mask)
             * mask[..., None].astype(dtype)
         )
 
     def __call__(self, texts) -> jax.Array:
         """texts -> [B, text_len, dim] embeddings, zeroed past each length."""
         ids, mask = self.tokenizer(texts, return_mask=True)
-        return self._apply(jnp.asarray(ids), jnp.asarray(mask))
+        return self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))

@@ -98,6 +98,27 @@ class TestPallasInterpret:
         for a, b_, name in zip(g_ref, g_pal, "qkvm"):
             assert_close(f"pallas grad {name}", a, b_, 1e-4)
 
+    def test_mix_bwd_fused_bands_cover_odd_n(self, key):
+        """n=192 (> 128, not a multiple): the fixed-stride band construction
+        used to leave dstates rows [128, 192) unwritten and dm rows [0, 64)
+        unaccumulated — every band must clamp so the union tiles [0, n)."""
+        from mhla_tpu.kernels.mhla_chunk_pallas import _mix_bwd_fused_pallas
+
+        b, n, hdk, dv = 1, 192, 16, 128
+        ks = jax.random.split(key, 3)
+        m_far = jnp.tril(jax.random.normal(ks[0], (n, n)), -1)
+        dout = jax.random.normal(ks[1], (b, n, hdk, dv))
+        states4 = jax.random.normal(ks[2], (b, n, hdk, dv))
+        out = _mix_bwd_fused_pallas(m_far.T, dout, states4)
+        assert out is not None, "expected the fused path at this geometry"
+        dstates, dm = out
+        ds_ref = jnp.einsum("ji,bjrd->bird", m_far, dout)
+        dm_ref = jnp.einsum("bird,bjrd->ij", dout, states4)
+        assert_close("fused bwd dstates odd n", ds_ref, dstates, 1e-4)
+        # the kernel only populates the banded lower region the caller masks
+        tril = jnp.tril(jnp.ones((n, n)))
+        assert_close("fused bwd dm odd n", dm_ref * tril, dm * tril, 1e-4)
+
 
 class TestBlockwiseFusedInterpret:
     """Fused blockwise (vision) kernels vs the einsum op, interpret mode."""
