@@ -120,6 +120,11 @@ class WanLinearAttention(nn.Module):
         h = self.num_heads
         d = self.dim // h
 
+        if self.mlla not in (None, "linear", "lepe"):
+            raise ValueError(
+                f"mlla={self.mlla!r}: expected None, 'linear' or 'lepe' "
+                "(the WanConfig-level names are 'mllalinear'/'mllalepe')"
+            )
         dense = lambda name: nn.Dense(  # noqa: E731
             self.dim, use_bias=True, dtype=self.dtype, name=name
         )

@@ -85,10 +85,12 @@ class GatedRMSNormHeadsFlat(nn.Module):
             jnp.arange(fdim)[:, None] // dh
             == jnp.arange(self.num_heads)[None, :]
         ).astype(x.dtype)  # [F, H]
-        # stats in fp32 (tiny [B,T,H]); the 3-operand einsum squares INSIDE
-        # the fp32 accumulation (exact bf16*bf16 products on the MXU) — a
-        # separate `x * x` would round each square to the input dtype, and
-        # materializing fp32 [B,T,F] temporaries measured +5 ms/step
+        # stats in fp32: the 3-operand einsum keeps the bf16*bf16 squares
+        # exact in the f32 accumulator (2.4e-7 vs 1.7e-2 max err for a bf16
+        # `x * x`). It lowers as an all-batch-dims dot feeding the segment
+        # GEMM; whether the f32 square stream stays fused on TPU is to be
+        # re-measured against train_bench (an explicitly materialized fp32
+        # [B,T,F] temporary once measured +5 ms/step).
         ss = jnp.einsum("btf,btf,fh->bth", x, x, seg, preferred_element_type=f32)
         inv = jax.lax.rsqrt(ss / dh + self.eps)
         scale = inv.astype(x.dtype)

@@ -130,6 +130,28 @@ def convert_wan_checkpoint(
                 elif name == "g_norm":
                     dim_head = cfg.dim // cfg.num_heads
                     self_attn[name] = {"weight": np.ones(dim_head, np.float32)}
+        elif attn_type in ("mllalinear", "mllalepe"):
+            # MLLA STConv weights: torch depthwise Conv2d [C, 1, 3, 3] ->
+            # flax [3, 3, 1, C]; Conv1d [C, 1, 3] -> [3, 1, C]
+            def _stconv(prefix):
+                return {
+                    "spatial_conv": {
+                        "kernel": np.asarray(
+                            state[prefix + ".spatial_conv.weight"]
+                        ).transpose(2, 3, 1, 0),
+                        "bias": np.asarray(state[prefix + ".spatial_conv.bias"]),
+                    },
+                    "temporal_conv": {
+                        "kernel": np.asarray(
+                            state[prefix + ".temporal_conv.weight"]
+                        ).transpose(2, 1, 0),
+                        "bias": np.asarray(state[prefix + ".temporal_conv.bias"]),
+                    },
+                }
+
+            self_attn["st_conv"] = _stconv(p + "self_attn.st_conv")
+            if attn_type == "mllalepe":
+                self_attn["lepe_conv"] = _stconv(p + "self_attn.lepe_conv")
 
         blk: Dict[str, Any] = {
             "self_attn": self_attn,

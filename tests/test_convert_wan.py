@@ -84,6 +84,51 @@ class TestConvertWan:
             state["blocks.1.self_attn.o.weight"].T,
         )
 
+    def test_convert_mlla(self, key):
+        """MLLA layers: st_conv/lepe_conv depthwise weights map through
+        (torch Conv2d [C,1,3,3] -> flax [3,3,1,C]; Conv1d [C,1,3] -> [3,1,C])."""
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, attn_type="mllalepe")
+        model = WanModel(cfg)
+        x = jnp.zeros((1, 4, 8, 8, 4))
+        ctx = jnp.zeros((1, 8, 32))
+        init_params = model.init(key, x, jnp.zeros(1), ctx)
+
+        rng = np.random.default_rng(2)
+        state = synth_state(rng)
+        for conv in ("st_conv", "lepe_conv"):
+            p = f"blocks.0.self_attn.{conv}."
+            state[p + "spatial_conv.weight"] = (
+                rng.standard_normal((CFG.dim, 1, 3, 3), np.float32) * 0.1
+            )
+            state[p + "spatial_conv.bias"] = np.zeros(CFG.dim, np.float32)
+            state[p + "temporal_conv.weight"] = (
+                rng.standard_normal((CFG.dim, 1, 3), np.float32) * 0.1
+            )
+            state[p + "temporal_conv.bias"] = np.zeros(CFG.dim, np.float32)
+
+        params = convert_wan_checkpoint(state, cfg, init_params)
+        out = model.apply(params, x, jnp.array([500.0]), ctx)
+        assert out.shape == (1, 4, 8, 8, 4)
+        assert np.isfinite(np.asarray(out)).all()
+        got = params["params"]["blocks_0"]["self_attn"]["st_conv"]
+        np.testing.assert_allclose(
+            np.asarray(got["spatial_conv"]["kernel"]),
+            state["blocks.0.self_attn.st_conv.spatial_conv.weight"].transpose(
+                2, 3, 1, 0
+            ),
+        )
+        ref_paths = {
+            jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_flatten_with_path(init_params)[0]
+        }
+        got_paths = {
+            jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]
+        }
+        assert ref_paths == got_paths
+
     def test_param_tree_structure_matches_init(self, key):
         model = WanModel(CFG)
         x = jnp.zeros((1, 4, 8, 8, 4))
