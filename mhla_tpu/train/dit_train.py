@@ -44,6 +44,9 @@ class DiTTrainLoop:
     ema_decay: float = 0.9999
     seed: int = 0
     resume_from: Optional[str] = "latest"
+    # torch .pt/.pth of a standard DiT to finetune from (qkv->to_qkv remap,
+    # MHLA params fresh; reference mhla_dit/train.py:206-231)
+    finetune_from: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -120,6 +123,21 @@ def main(argv=None) -> dict:
     )
     n_params = sum(p.size for p in jax.tree.leaves(params))
     logger.info(f"{cfg.model_name}: {n_params/1e6:.1f}M params")
+
+    if cfg.train.finetune_from:
+        import torch
+
+        from ..models.convert_dit import convert_dit_checkpoint
+
+        blob = torch.load(
+            cfg.train.finetune_from, map_location="cpu", weights_only=True
+        )
+        blob = blob.get("ema", blob.get("model", blob))  # DiT ckpt dicts
+        state_np = {k: v.float().numpy() for k, v in blob.items()}
+        params = jax.tree.map(
+            jnp.asarray, convert_dit_checkpoint(state_np, model_cfg, params)
+        )
+        logger.info(f"finetuning from {cfg.train.finetune_from}")
 
     tx = make_optimizer(cfg.optimizer)
     mesh = make_mesh()

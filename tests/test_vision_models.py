@@ -92,6 +92,67 @@ class TestDiT:
         model, cfg = build_dit("DiT-S/2", input_size=16, block_size=4)
         assert cfg.hidden_size == 384 and cfg.depth == 12
 
+    def test_finetune_convert_from_standard_dit(self, key):
+        """Standard-DiT checkpoint finetune conversion (attn.qkv -> to_qkv,
+        MHLA params fresh; reference mhla_dit/train.py:206-231)."""
+        import numpy as np
+
+        from mhla_tpu.models.convert_dit import convert_dit_checkpoint
+
+        cfg = DiTConfig(input_size=16, patch_size=2, in_channels=4,
+                        hidden_size=64, depth=2, num_heads=2, block_size=4,
+                        num_classes=10)
+        model = DiT(cfg)
+        x = jax.random.normal(key, (1, 16, 16, 4))
+        t = jnp.zeros(1, jnp.int32)
+        y = jnp.zeros(1, jnp.int32)
+        init_params = model.init({"params": key, "label_dropout": key}, x, t, y)
+
+        rng = np.random.default_rng(0)
+        d = cfg.hidden_size
+        s = {}
+
+        def lin(name, nin, nout):
+            s[name + ".weight"] = rng.standard_normal((nout, nin), np.float32) * 0.02
+            s[name + ".bias"] = np.zeros(nout, np.float32)
+
+        s["x_embedder.proj.weight"] = rng.standard_normal(
+            (d, 4, 2, 2), np.float32) * 0.02
+        s["x_embedder.proj.bias"] = np.zeros(d, np.float32)
+        lin("t_embedder.mlp.0", 256, d)
+        lin("t_embedder.mlp.2", d, d)
+        s["y_embedder.embedding_table.weight"] = rng.standard_normal(
+            (cfg.num_classes + 1, d), np.float32) * 0.02
+        for i in range(cfg.depth):
+            lin(f"blocks.{i}.attn.qkv", d, 3 * d)
+            lin(f"blocks.{i}.attn.proj", d, d)
+            lin(f"blocks.{i}.adaLN_modulation.1", d, 6 * d)
+            lin(f"blocks.{i}.mlp.fc1", d, 4 * d)
+            lin(f"blocks.{i}.mlp.fc2", 4 * d, d)
+        lin("final_layer.adaLN_modulation.1", d, 2 * d)
+        lin("final_layer.linear", d, 2 * 2 * 8)
+
+        params = convert_dit_checkpoint(s, cfg, init_params)
+        params = jax.tree.map(jnp.asarray, params)
+        out = model.apply(params, x, t, y)
+        assert out.shape == (1, 16, 16, 8)
+        assert bool(jnp.isfinite(out).all())
+        # checkpoint projections inherited, MHLA mixing stayed fresh
+        import numpy.testing as npt
+        npt.assert_allclose(
+            np.asarray(params["params"]["blocks_0"]["attn"]["to_qkv"]["kernel"]),
+            s["blocks.0.attn.qkv.weight"].T,
+        )
+        ref_paths = {
+            jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_flatten_with_path(init_params)[0]
+        }
+        got_paths = {
+            jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]
+        }
+        assert ref_paths == got_paths
+
 
 class TestDiffusion:
     def test_q_sample_interpolates(self, key):
