@@ -6,7 +6,14 @@ from .mesh import (
     make_mesh,
     replicated,
 )
-from .sharding import fsdp_param_specs, fsdp_shardings, fsdp_spec, shard_params
+from .sharding import (
+    fsdp_param_specs,
+    fsdp_shardings,
+    fsdp_spec,
+    shard_params,
+    tp_fsdp_param_specs,
+)
+from .tensor_parallel import mhla_chunk_tp
 
 __all__ = [
     "DATA_AXIS",
@@ -17,8 +24,10 @@ __all__ = [
     "fsdp_shardings",
     "fsdp_spec",
     "make_mesh",
+    "mhla_chunk_tp",
     "replicated",
     "shard_params",
+    "tp_fsdp_param_specs",
 ]
 from .multihost import init_multihost, is_primary  # noqa: E402,F401
 

@@ -58,6 +58,70 @@ def fsdp_param_specs(params: Any, mesh: Mesh, min_size: int = 2**14) -> Any:
     return jax.tree.map(lambda p: fsdp_spec(p.shape, fsdp_size, min_size), params)
 
 
+# Megatron-style tensor-parallel rules by module name. Column modules feed
+# per-head / per-channel compute, so their kernel OUTPUT axis shards over
+# the tensor axis; row modules reduce back into the residual stream, so
+# their INPUT axis shards and XLA emits the psum at that matmul. Everything
+# else (norms, mixing matrices, embeddings) replicates over tensor — the
+# reference has no TP at all (SURVEY section 2.4), so these rules are a
+# TPU-native extension, not a parity requirement.
+TP_COLUMN = (
+    "q_proj", "k_proj", "v_proj", "g_proj", "b_proj", "a_proj",
+    "gate_proj", "up_proj", "to_qkv", "fc1", "in_proj",
+)
+TP_ROW = ("o_proj", "down_proj", "to_out", "fc2", "out_proj")
+
+
+def tp_fsdp_param_specs(
+    params: Any, mesh: Mesh, min_size: int = 2**14
+) -> Any:
+    """PartitionSpecs combining tensor parallelism (name-matched column/row
+    kernels) with FSDP on the remaining axis where it still fits the tile
+    quantum. Non-matched parameters fall back to plain FSDP specs."""
+    tp_size = mesh.shape[TENSOR_AXIS]
+    fsdp_size = mesh.shape[FSDP_AXIS]
+    if tp_size == 1:
+        return fsdp_param_specs(params, mesh, min_size)
+
+    def leaf_spec(path, p):
+        names = {getattr(k, "key", None) for k in path}
+        kind = None
+        if names & set(TP_COLUMN):
+            kind = "col"
+        elif names & set(TP_ROW):
+            kind = "row"
+        last = getattr(path[-1], "key", None)
+        if kind is None or last not in ("kernel", "bias") or p.ndim > 2:
+            return fsdp_spec(p.shape, fsdp_size, min_size)
+        if last == "bias" or p.ndim == 1:
+            if (
+                kind == "col"
+                and p.shape[0] % tp_size == 0
+                and p.shape[0] // tp_size >= 128
+            ):
+                return P(TENSOR_AXIS)
+            return P()  # row bias is added once, post-psum: replicate
+        tp_axis = 1 if kind == "col" else 0
+        if p.shape[tp_axis] % tp_size != 0 or (
+            p.shape[tp_axis] // tp_size < (128 if tp_axis == 1 else 8)
+        ):
+            return fsdp_spec(p.shape, fsdp_size, min_size)
+        spec = [None, None]
+        spec[tp_axis] = TENSOR_AXIS
+        # FSDP the other axis when a full tile survives per shard
+        other = 1 - tp_axis
+        quantum = 128 if other == 1 else 8
+        if (
+            fsdp_size > 1
+            and p.shape[other] % fsdp_size == 0
+            and p.shape[other] // fsdp_size >= quantum
+        ):
+            spec[other] = FSDP_AXIS
+        return P(*spec)
+
+    return jax.tree_util.tree_map_with_path(leaf_spec, params)
+
+
 def fsdp_shardings(params: Any, mesh: Mesh, min_size: int = 2**14) -> Any:
     return jax.tree.map(
         lambda spec: NamedSharding(mesh, spec),

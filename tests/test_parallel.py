@@ -71,6 +71,97 @@ class TestMesh:
         assert all(s != P() for s in emb)
 
 
+class TestTensorParallel:
+    def test_tp_spec_rules(self):
+        """Column kernels shard output over tensor, row kernels input; the
+        other axis picks up fsdp when a full tile survives per shard."""
+        from mhla_tpu.parallel import tp_fsdp_param_specs
+
+        mesh = make_mesh(n_data=1, n_fsdp=2, n_tensor=4)
+        params = {
+            "mlp": {
+                "gate_proj": {"kernel": jnp.zeros((1024, 4096))},
+                "down_proj": {"kernel": jnp.zeros((4096, 1024)),
+                              "bias": jnp.zeros((1024,))},
+            },
+            "attn": {
+                "q_proj": {"kernel": jnp.zeros((1024, 1024)),
+                           "bias": jnp.zeros((1024,))},
+                "o_proj": {"kernel": jnp.zeros((1024, 1024))},
+                "mixing_matrix": jnp.zeros((32, 32)),
+            },
+            "norm": {"weight": jnp.zeros((1024,))},
+        }
+        specs = tp_fsdp_param_specs(params, mesh)
+        assert specs["mlp"]["gate_proj"]["kernel"] == P("fsdp", "tensor")
+        assert specs["mlp"]["down_proj"]["kernel"] == P("tensor", "fsdp")
+        assert specs["mlp"]["down_proj"]["bias"] == P()  # post-psum: once
+        assert specs["attn"]["q_proj"]["kernel"] == P("fsdp", "tensor")
+        assert specs["attn"]["q_proj"]["bias"] == P("tensor")
+        assert specs["attn"]["o_proj"]["kernel"] == P("tensor", "fsdp")
+        # non-matched params fall back to fsdp rules (here: replicated)
+        assert specs["attn"]["mixing_matrix"] == P()
+        assert specs["norm"]["weight"] == P()
+
+    def test_mhla_chunk_tp_matches_single_device(self, key):
+        from jax.sharding import NamedSharding
+
+        from mhla_tpu.ops import init_causal_mixing_matrix, mhla_chunk
+        from mhla_tpu.parallel import mhla_chunk_tp
+
+        mesh = make_mesh(n_data=1, n_tensor=8)
+        b, t, h, d, c = 2, 64, 8, 16, 16
+        q = jax.nn.relu(jax.random.normal(key, (b, t, h, d)))
+        k = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(1), (b, t, h, d)))
+        v = jax.random.normal(jax.random.PRNGKey(2), (b, t, h, d))
+        m = init_causal_mixing_matrix(t // c)
+        sh = NamedSharding(mesh, P(None, None, "tensor", None))
+        qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+        with mesh:
+            o_tp = mhla_chunk_tp(qs, ks, vs, m, mesh, chunk_size=c)
+        o_ref, _ = mhla_chunk(q, k, v, m, chunk_size=c)
+        assert_close("tp vs single device", o_ref, o_tp, 1e-5)
+
+    def test_tp_lm_loss_matches_unsharded(self):
+        """pjit with tensor+fsdp param specs computes the same loss as the
+        unsharded model (XLA inserts the row-parallel psums)."""
+        from jax.sharding import NamedSharding
+
+        from mhla_tpu.parallel import tp_fsdp_param_specs
+
+        cfg = MHLALMConfig(
+            hidden_size=512, num_hidden_layers=1, num_heads=2, vocab_size=128,
+            max_position_embeddings=32, chunk_size=16,
+        )
+        model = MHLAForCausalLM(cfg)
+        ids = jax.random.randint(jax.random.PRNGKey(3), (4, 32), 0, 128)
+        params = model.init(jax.random.PRNGKey(0), ids)
+
+        def loss_fn(p, batch):
+            logits, _ = model.apply(p, batch)
+            return cross_entropy_loss(logits, batch)
+
+        ref = float(loss_fn(params, ids))
+
+        mesh = make_mesh(n_data=1, n_fsdp=2, n_tensor=4)
+        specs = tp_fsdp_param_specs(params, mesh)
+        flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+        tp_used = [
+            spec for path, spec in flat if "tensor" in str(spec)
+        ]
+        assert tp_used, "expected at least one tensor-sharded kernel"
+        sharded = jax.device_put(
+            params,
+            jax.tree.map(
+                lambda s: NamedSharding(mesh, s), specs,
+                is_leaf=lambda x: isinstance(x, P),
+            ),
+        )
+        with mesh:
+            got = float(jax.jit(loss_fn)(sharded, ids))
+        assert_close("tp lm loss", jnp.asarray(ref), jnp.asarray(got), 1e-5)
+
+
 class TestFSDPTrainStep:
     def test_one_step_runs_and_shards(self):
         cfg, model, ids, params = tiny_model()
