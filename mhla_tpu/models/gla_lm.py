@@ -58,6 +58,7 @@ class MHLALMConfig:
     tie_word_embeddings: bool = True
     initializer_range: float = 0.02
     fuse_cross_entropy: bool = True
+    use_l2warp: bool = False  # L2Wrap max-logit pull (fla/modules/l2warp.py)
     attn_extends: str = "mhla"
     chunk_size: int = 64
     dtype: Any = jnp.float32

@@ -97,7 +97,12 @@ def main(argv=None) -> dict:
 
     def loss_fn(p, batch, _rng):
         logits, _ = model.apply(p, batch)
-        return cross_entropy_loss(logits, batch), {}
+        loss = cross_entropy_loss(logits, batch)
+        if cfg.model.use_l2warp:
+            from ..ops.losses import l2_warp
+
+            loss = l2_warp(loss, logits)
+        return loss, {}
 
     with mesh:
         state = init_train_state_sharded(

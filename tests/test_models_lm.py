@@ -200,6 +200,21 @@ class TestFusedLinearCE:
         nll, mask = cross_entropy(logits, labels)
         assert float(jnp.abs(fused - nll.sum() / mask.sum())) < 1e-5
 
+    def test_l2_warp_value_and_grad(self):
+        """L2Wrap (fla/modules/l2warp.py): loss value unchanged, gradient
+        gains a pull-to-zero term at each position's max logit."""
+        from mhla_tpu.ops.losses import l2_warp
+
+        logits = jnp.array([[[1.0, 3.0, 2.0]]])
+        out = l2_warp(jnp.float32(5.0), logits, weight=1e-2)
+        assert abs(float(out) - 5.0) < 1e-7
+        g = jax.grad(lambda z: l2_warp(jnp.float32(5.0), z, weight=1e-2))(
+            logits
+        )
+        np.testing.assert_allclose(
+            np.asarray(g[0, 0]), [0.0, 2 * 1e-2 * 3.0, 0.0], rtol=1e-5
+        )
+
 
 class TestTransformerFamily:
     def test_full_softmax_lm(self):
