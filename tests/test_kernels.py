@@ -567,3 +567,28 @@ class TestGLAFused:
         )(q, k, v, gk)
         for a, b_, name in zip(g_ref, g_out, ["q", "k", "v", "gk"]):
             assert_close(f"gla fused grad {name}", a, b_, 1e-3)
+
+    def test_grads_with_padding(self, key):
+        """Odd length (7 chunks -> supertile pad): backward keeps padded
+        cotangents out of the real tokens."""
+        from mhla_tpu.kernels.gla_chunk_pallas import gla_chunk_fused
+        from mhla_tpu.ops.gla_chunk import gla_chunk
+
+        b, t, h, d = 1, 448, 2, 128
+        kq, kk, kv, kg = jax.random.split(key, 4)
+        q = jax.nn.relu(jax.random.normal(kq, (b, t, h, d)))
+        k = jax.nn.relu(jax.random.normal(kk, (b, t, h, d)))
+        v = jax.random.normal(kv, (b, t, h, d))
+        gk = -jax.nn.softplus(jax.random.normal(kg, (b, t, h, d))) * 0.1
+
+        def loss(fn, *args):
+            return jnp.sum(jnp.cos(fn(*args)[0]))
+
+        g_ref = jax.grad(lambda *a: loss(gla_chunk, *a), argnums=(0, 1, 2, 3))(
+            q, k, v, gk
+        )
+        g_out = jax.grad(
+            lambda *a: loss(gla_chunk_fused, *a), argnums=(0, 1, 2, 3)
+        )(q, k, v, gk)
+        for a, b_, name in zip(g_ref, g_out, ["q", "k", "v", "gk"]):
+            assert_close(f"gla fused pad grad {name}", a, b_, 1e-3)
