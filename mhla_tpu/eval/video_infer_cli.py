@@ -124,11 +124,13 @@ def _text_embeddings(cfg: VideoInferConfig, prompts, model_cfg):
         from ..models.t5 import T5TextEncoder
 
         encoder = T5TextEncoder(cfg.t5_dir, text_len=model_cfg.text_len)
-        embs = encoder(list(prompts))
-        assert embs.shape[-1] == model_cfg.text_dim, (
-            f"T5 dim {embs.shape[-1]} != model text_dim {model_cfg.text_dim}"
+        # one batch = one encoder compile: the null/CFG prompt rides along
+        # instead of triggering a second batch-1 compile of the encoder
+        all_embs = encoder(list(prompts) + [""])
+        assert all_embs.shape[-1] == model_cfg.text_dim, (
+            f"T5 dim {all_embs.shape[-1]} != model text_dim {model_cfg.text_dim}"
         )
-        null = encoder([""])[0]
+        embs, null = all_embs[:-1], all_embs[-1]
         return embs, jnp.asarray(null)[None].repeat(len(prompts), 0)
     return jnp.zeros(shape, jnp.float32), None
 

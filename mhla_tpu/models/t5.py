@@ -261,7 +261,10 @@ class T5TextEncoder:
         raw = json.loads((d / "config.json").read_text()) if (d / "config.json").exists() else {}
         tokenizer_name = raw.pop("tokenizer", str(d / "tokenizer"))
         fields = {f.name for f in dataclasses.fields(T5Config)}
-        self.cfg = T5Config(**{k: v for k, v in raw.items() if k in fields}, dtype=dtype)
+        # the constructor's dtype wins over a config.json "dtype" entry
+        # (a dumped T5Config would otherwise collide with the explicit kwarg)
+        kw = {k: v for k, v in raw.items() if k in fields and k != "dtype"}
+        self.cfg = T5Config(**kw, dtype=dtype)
         self.text_len = text_len
 
         msgpack = d / "params.msgpack"

@@ -82,7 +82,11 @@ def fused_linear_cross_entropy(
 
 def l2_warp(loss: jax.Array, logits: jax.Array, weight: float = 1e-4) -> jax.Array:
     """L2Wrap logit penalty via gradient hack (``fla/modules/l2warp.py``):
-    adds a pull-to-zero gradient on the max logit without changing the loss
-    value."""
-    penalty = weight * jnp.mean(jnp.max(logits.astype(jnp.float32), axis=-1) ** 2)
+    adds a pull-to-zero gradient on each position's max logit without
+    changing the loss value. The reference backward writes
+    ``(weight / (B*T)) * max`` at the argmax; ``d/dmax[w/2 * mean(max^2)]``
+    reproduces exactly that (the 1/2 cancels the square's 2)."""
+    penalty = 0.5 * weight * jnp.mean(
+        jnp.max(logits.astype(jnp.float32), axis=-1) ** 2
+    )
     return loss + penalty - jax.lax.stop_gradient(penalty)

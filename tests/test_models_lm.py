@@ -211,8 +211,9 @@ class TestFusedLinearCE:
         g = jax.grad(lambda z: l2_warp(jnp.float32(5.0), z, weight=1e-2))(
             logits
         )
+        # reference backward: (weight / (B*T)) * max at the argmax — no 2
         np.testing.assert_allclose(
-            np.asarray(g[0, 0]), [0.0, 2 * 1e-2 * 3.0, 0.0], rtol=1e-5
+            np.asarray(g[0, 0]), [0.0, 1e-2 * 3.0, 0.0], rtol=1e-5
         )
 
 
