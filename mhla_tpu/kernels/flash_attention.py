@@ -33,12 +33,28 @@ def flash_attention(
     v: jax.Array,
     causal: bool = False,
     scale: Optional[float] = None,
+    segment_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """[B, T, H, D] flash attention; fp32 softmax accumulation."""
+    """[B, T, H, D] flash attention; fp32 softmax accumulation.
+
+    ``segment_ids`` [B, T]: tokens attend only within their own segment
+    (packed-varlen document isolation); rides the same SegmentIds mechanism
+    the kernel already uses for block-size padding.
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if not _on_tpu():
-        return jax.nn.dot_product_attention(q, k, v, scale=scale, is_causal=causal)
+        if segment_ids is None:
+            return jax.nn.dot_product_attention(
+                q, k, v, scale=scale, is_causal=causal
+            )
+        t = q.shape[1]
+        keep = segment_ids[:, :, None] == segment_ids[:, None, :]
+        if causal:
+            keep = keep & (jnp.arange(t)[:, None] >= jnp.arange(t)[None, :])
+        return jax.nn.dot_product_attention(
+            q, k, v, scale=scale, mask=keep[:, None]
+        )
 
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
@@ -49,12 +65,16 @@ def flash_attention(
     b, t, h, d = q.shape
     blk = min(512, t)
     pad = (-t) % blk
-    segment_ids = None
+    seg = segment_ids
     if pad:
         zeros = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))  # noqa: E731
         q, k, v = zeros(q), zeros(k), zeros(v)
-        seg = (jnp.arange(t + pad) >= t).astype(jnp.int32)[None, :].repeat(b, 0)
-        segment_ids = SegmentIds(q=seg, kv=seg)
+        if seg is None:
+            seg = (jnp.arange(t + pad) >= t).astype(jnp.int32)[None, :].repeat(b, 0)
+        else:
+            # pads get a segment no real token carries (ids are >= 0)
+            seg = jnp.pad(seg.astype(jnp.int32), ((0, 0), (0, pad)), constant_values=-1)
+    segment_ids = SegmentIds(q=seg, kv=seg) if seg is not None else None
 
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)

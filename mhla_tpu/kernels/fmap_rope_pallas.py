@@ -56,22 +56,23 @@ def _rope_rows_f32(x, cos, sin_signed, nh, dh):
     return jnp.concatenate(parts, axis=1)
 
 
+def _tbl(ref):
+    """Table block -> [R, Dh] fp32; tables are [T, Dh] (shared across the
+    batch) or [B, T, Dh] (per-token gathered rows, the packed-varlen path)."""
+    t = ref[...].astype(jnp.float32)
+    return t[0] if t.ndim == 3 else t
+
+
 def _fwd_kernel(nh, dh, fm, x_ref, cos_ref, sin_ref, o_ref):
     x = x_ref[0].astype(jnp.float32)
-    y = _rope_rows_f32(
-        _fmap_fwd(x, fm), cos_ref[...].astype(jnp.float32),
-        sin_ref[...].astype(jnp.float32), nh, dh,
-    )
+    y = _rope_rows_f32(_fmap_fwd(x, fm), _tbl(cos_ref), _tbl(sin_ref), nh, dh)
     o_ref[0] = y.astype(o_ref.dtype)
 
 
 def _bwd_kernel(nh, dh, fm, dy_ref, x_ref, cos_ref, sin_ref, dx_ref):
     # dx = fmap'(x) * rope_{-sin}(dy)   (rotation transpose = negated sin)
     dy = dy_ref[0].astype(jnp.float32)
-    g = _rope_rows_f32(
-        dy, cos_ref[...].astype(jnp.float32),
-        -sin_ref[...].astype(jnp.float32), nh, dh,
-    )
+    g = _rope_rows_f32(dy, _tbl(cos_ref), -_tbl(sin_ref), nh, dh)
     dx_ref[0] = (g * _fmap_deriv(x_ref[0].astype(jnp.float32), fm)).astype(
         dx_ref.dtype
     )
@@ -97,9 +98,15 @@ def _run(kern_body, nh, dh, fm, out_dtype, x, *tensors):
     b, t, f = x.shape
     rows = _pick_rows(t)
     row_spec = pl.BlockSpec((1, rows, f), lambda bi, ti: (bi, ti, 0))
-    tbl_spec = pl.BlockSpec((rows, dh), lambda bi, ti: (ti, 0))
-    n_rows = sum(1 for a in tensors if a.ndim == 3)
-    in_specs = [row_spec] * (1 + n_rows) + [tbl_spec, tbl_spec]
+
+    def spec_for(a):
+        if a.ndim == 3 and a.shape[-1] == f:
+            return row_spec  # another [B, T, H*D] stream (bwd's saved x)
+        if a.ndim == 3:  # per-token [B, T, Dh] table (varlen positions)
+            return pl.BlockSpec((1, rows, dh), lambda bi, ti: (bi, ti, 0))
+        return pl.BlockSpec((rows, dh), lambda bi, ti: (ti, 0))
+
+    in_specs = [row_spec] + [spec_for(a) for a in tensors]
     return pl.pallas_call(
         functools.partial(kern_body, nh, dh, fm),
         grid=(b, t // rows),
@@ -108,7 +115,9 @@ def _run(kern_body, nh, dh, fm, out_dtype, x, *tensors):
         out_shape=jax.ShapeDtypeStruct((b, t, f), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=6 * x.size,
-            bytes_accessed=(2 + n_rows) * x.size * x.dtype.itemsize,
+            bytes_accessed=(
+                2 * x.size + sum(a.size for a in tensors)
+            ) * x.dtype.itemsize,
             transcendentals=x.size if fm == "elu" else 0,
         ),
         interpret=_interpret(),
@@ -147,11 +156,17 @@ def fused_fmap_rope_flat(
     num_heads: int,
     feature_map: Optional[str] = None,
     offset: int | jax.Array = 0,
+    positions: Optional[jax.Array] = None,
 ) -> jax.Array:
     """``rope(fmap(x))`` on head-flat x [B, T, H*Dh] with the standard
     [>=T+offset, Dh/2] rotary tables. One fused Pallas pass on TPU; jnp
     (``ops.rotary.apply_rotary_flat``) elsewhere. Exactly matches
-    ``apply_rotary(fmap(x4d), cos, sin, offset)`` on the [B,T,H,Dh] view."""
+    ``apply_rotary(fmap(x4d), cos, sin, offset)`` on the [B,T,H,Dh] view.
+
+    ``positions`` [B, T] selects explicit per-token table rows instead of
+    the contiguous offset range (packed varlen: each document restarts at
+    position 0, like the reference's rotary cu_seqlens path); the gathered
+    [B, T, Dh] tables stream through the same kernel."""
     assert feature_map in _FMAPS, feature_map
     t = x.shape[1]
     dh = x.shape[-1] // num_heads
@@ -161,10 +176,15 @@ def fused_fmap_rope_flat(
         from ..ops.rotary import apply_rotary_flat
 
         return apply_rotary_flat(
-            get_feature_map(feature_map)(x), cos, sin, num_heads, offset=offset
+            get_feature_map(feature_map)(x), cos, sin, num_heads,
+            offset=offset, positions=positions,
         )
-    cos_t = jax.lax.dynamic_slice_in_dim(cos, offset, t, axis=0)
-    sin_t = jax.lax.dynamic_slice_in_dim(sin, offset, t, axis=0)
-    cos_h = jnp.concatenate([cos_t, cos_t], axis=-1)  # [T, Dh]
+    if positions is not None:
+        cos_t = cos[positions]  # [B, T, Dh/2]
+        sin_t = sin[positions]
+    else:
+        cos_t = jax.lax.dynamic_slice_in_dim(cos, offset, t, axis=0)  # [T, .]
+        sin_t = jax.lax.dynamic_slice_in_dim(sin, offset, t, axis=0)
+    cos_h = jnp.concatenate([cos_t, cos_t], axis=-1)  # [(B,) T, Dh]
     sin_h = jnp.concatenate([-sin_t, sin_t], axis=-1)
     return _fused(x, cos_h, sin_h, num_heads, feature_map)

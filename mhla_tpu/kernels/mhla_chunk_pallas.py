@@ -288,13 +288,16 @@ def _mix_bands(n: int, lower: bool):
 
 
 def _mix_kernel(bands, lower, m_ref, s_ref, o_ref):
-    nn = m_ref.shape[0]
+    # m_ref is [N, N] (shared matrix) or [1, N, N] (per-batch-row matrix,
+    # the packed-varlen path — same VMEM footprint, batch-indexed BlockSpec)
+    m2 = m_ref if m_ref.ndim == 2 else m_ref[0]
+    nn = m2.shape[0]
     for lo, hi in bands:
         if lower:
-            mm = m_ref[lo:hi, :hi]
+            mm = m2[lo:hi, :hi]
             ss = s_ref[0, :hi]  # [hi, Rtile, Dv]
         else:
-            mm = m_ref[lo:hi, lo:]
+            mm = m2[lo:hi, lo:]
             ss = s_ref[0, lo:nn]
         o = jax.lax.dot_general(
             mm, ss, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -316,6 +319,7 @@ def _mix_rtile(n: int, hdk: int, dv: int, nbytes: int, m_bytes: int):
 
 def _mix_pallas(m_tri, states4, lower: bool, bands=None):
     b, n, hdk, dv = states4.shape
+    batched = m_tri.ndim == 3
     nbytes = states4.dtype.itemsize
     rtile = _mix_rtile(n, hdk, dv, nbytes, n * n * nbytes)
     if rtile is None:
@@ -326,18 +330,23 @@ def _mix_pallas(m_tri, states4, lower: bool, bands=None):
         2 * sum((hi - lo) * (hi if lower else n - lo) for lo, hi in bands)
         * hdk * dv * b
     )
+    m_spec = (
+        pl.BlockSpec((1, n, n), lambda bi, fi: (bi, 0, 0))
+        if batched
+        else pl.BlockSpec((n, n), lambda bi, fi: (0, 0))
+    )
     return pl.pallas_call(
         functools.partial(_mix_kernel, bands, lower),
         grid=(b, hdk // rtile),
         in_specs=[
-            pl.BlockSpec((n, n), lambda bi, fi: (0, 0)),
+            m_spec,
             pl.BlockSpec((1, n, rtile, dv), lambda bi, fi: (bi, 0, fi, 0)),
         ],
         out_specs=pl.BlockSpec((1, n, rtile, dv), lambda bi, fi: (bi, 0, fi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n, hdk, dv), states4.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=2 * states4.size * nbytes + n * n * nbytes,
+            bytes_accessed=2 * states4.size * nbytes + m_tri.size * nbytes,
             transcendentals=0,
         ),
         interpret=_interpret(),
@@ -345,10 +354,8 @@ def _mix_pallas(m_tri, states4, lower: bool, bands=None):
 
 
 def _mix_xla(m_far, states4):
-    out = jnp.einsum(
-        "ij,bjrd->bird", m_far, states4,
-        preferred_element_type=jnp.float32,
-    )
+    eq = "bij,bjrd->bird" if m_far.ndim == 3 else "ij,bjrd->bird"
+    out = jnp.einsum(eq, m_far, states4, preferred_element_type=jnp.float32)
     return out.astype(states4.dtype)
 
 
@@ -372,7 +379,7 @@ def mix_states(m_far: jax.Array, states4: jax.Array):
     F=128k vs the dense einsum; jnp-level band splits are 2-6x SLOWER than
     dense because they re-stream states or materialize fp32 partials in HBM.
     """
-    if _mix_use_pallas(m_far.shape[0], states4.shape[-1]):
+    if _mix_use_pallas(m_far.shape[-1], states4.shape[-1]):
         return _mix_pallas(m_far, states4, lower=True)
     return _mix_xla(m_far, states4)
 
@@ -383,8 +390,15 @@ def _mix_states_fwd(m_far, states4):
 
 def _dm_kernel(bands, do_ref, s_ref, dm_ref):
     """Accumulate dm[i, j] = <dout[i], states[j]> over the feature grid
-    axis, banded to the populated lower-triangular region."""
-    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    axis, banded to the populated lower-triangular region. dm_ref is
+    [N, N] (shared matrix, accumulated over the batch grid axis too) or
+    [1, N, N] (per-batch-row matrix, packed-varlen path)."""
+    batched = dm_ref.ndim == 3
+    first = pl.program_id(1) == 0
+    if not batched:
+        first = first & (pl.program_id(0) == 0)
+
+    @pl.when(first)
     def _init():
         dm_ref[...] = jnp.zeros_like(dm_ref)
 
@@ -392,20 +406,29 @@ def _dm_kernel(bands, do_ref, s_ref, dm_ref):
     do2 = do_ref[0].reshape(n, rt * dv)  # minor-dim merge: free in VMEM
     s2 = s_ref[0].reshape(n, rt * dv)
     for lo, hi in bands:
-        dm_ref[lo:hi, :hi] += jax.lax.dot_general(
+        part = jax.lax.dot_general(
             do2[lo:hi], s2[:hi], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if batched:
+            dm_ref[0, lo:hi, :hi] += part
+        else:
+            dm_ref[lo:hi, :hi] += part
 
 
-def _dm_pallas(dout, states4, bands):
+def _dm_pallas(dout, states4, bands, batched: bool = False):
     b, n, hdk, dv = states4.shape
     nbytes = states4.dtype.itemsize
     rtile = _mix_rtile(n, hdk, dv, nbytes, 4 * n * n)
     if rtile is None:
-        return jnp.einsum(
-            "bird,bjrd->ij", dout, states4, preferred_element_type=jnp.float32
-        )
+        eq = "bird,bjrd->bij" if batched else "bird,bjrd->ij"
+        return jnp.einsum(eq, dout, states4, preferred_element_type=jnp.float32)
+    dm_spec = (
+        pl.BlockSpec((1, n, n), lambda bi, fi: (bi, 0, 0))
+        if batched
+        else pl.BlockSpec((n, n), lambda bi, fi: (0, 0))
+    )
+    dm_shape = (b, n, n) if batched else (n, n)
     return pl.pallas_call(
         functools.partial(_dm_kernel, bands),
         grid=(b, hdk // rtile),
@@ -413,8 +436,8 @@ def _dm_pallas(dout, states4, bands):
             pl.BlockSpec((1, n, rtile, dv), lambda bi, fi: (bi, 0, fi, 0)),
             pl.BlockSpec((1, n, rtile, dv), lambda bi, fi: (bi, 0, fi, 0)),
         ],
-        out_specs=pl.BlockSpec((n, n), lambda bi, fi: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+        out_specs=dm_spec,
+        out_shape=jax.ShapeDtypeStruct(dm_shape, jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * sum((hi - lo) * hi for lo, hi in bands) * hdk * dv * b,
             bytes_accessed=2 * states4.size * nbytes,
@@ -441,10 +464,12 @@ def _mix_bwd_fused_kernel(
 
 
 def _mix_bwd_fused_pallas(m_t, dout, states4):
-    """m_t: [N, N] upper-triangular (m_far^T, compute dtype), dout/states4:
-    [B, N, H*Dk, Dv] -> (dstates [same], dm [N, N] f32), or None when no
+    """m_t: [N, N] upper-triangular (m_far^T, compute dtype) or [B, N, N]
+    (per-batch-row, packed-varlen path), dout/states4: [B, N, H*Dk, Dv] ->
+    (dstates [same], dm [N, N] or [B, N, N] f32), or None when no
     Mosaic-legal row tile fits the budget (callers fall back)."""
     b, n, hdk, dv = states4.shape
+    batched = m_t.ndim == 3
     nbytes = states4.dtype.itemsize
     rtile = None
     for cand in (16, 8):
@@ -469,6 +494,17 @@ def _mix_bwd_fused_pallas(m_t, dout, states4):
         hi = lo
     bands_up = [(n - hi, n - lo) for lo, hi in bands_lo]
     row = pl.BlockSpec((1, n, rtile, dv), lambda bi, fi: (bi, 0, fi, 0))
+    m_spec = (
+        pl.BlockSpec((1, n, n), lambda bi, fi: (bi, 0, 0))
+        if batched
+        else pl.BlockSpec((n, n), lambda bi, fi: (0, 0))
+    )
+    dm_spec = (
+        pl.BlockSpec((1, n, n), lambda bi, fi: (bi, 0, 0))
+        if batched
+        else pl.BlockSpec((n, n), lambda bi, fi: (0, 0))
+    )
+    dm_shape = (b, n, n) if batched else (n, n)
     flops = (
         2 * sum((hi - lo) * (n - lo) for lo, hi in bands_up)
         + 2 * sum((hi - lo) * hi for lo, hi in bands_lo)
@@ -477,14 +513,14 @@ def _mix_bwd_fused_pallas(m_t, dout, states4):
         functools.partial(_mix_bwd_fused_kernel, bands_up, bands_lo),
         grid=(b, hdk // rtile),
         in_specs=[
-            pl.BlockSpec((n, n), lambda bi, fi: (0, 0)),
+            m_spec,
             row,
             row,
         ],
-        out_specs=(row, pl.BlockSpec((n, n), lambda bi, fi: (0, 0))),
+        out_specs=(row, dm_spec),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, hdk, dv), states4.dtype),
-            jax.ShapeDtypeStruct((n, n), jnp.float32),
+            jax.ShapeDtypeStruct(dm_shape, jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -497,24 +533,29 @@ def _mix_bwd_fused_pallas(m_t, dout, states4):
 
 def _mix_states_bwd(res, dout):
     m_far, states4 = res
+    batched = m_far.ndim == 3
+    n = m_far.shape[-1]
+    m_t = jnp.swapaxes(m_far, -1, -2)
     dout = dout.astype(states4.dtype)
-    if _mix_use_pallas(m_far.shape[0], states4.shape[-1]):
+    if _mix_use_pallas(n, states4.shape[-1]):
         # single pass over dout: dS = m_far^T @ dout (upper-banded; the
         # transpose is upper-triangular) and dm = <dout_i, states_j>
         # (lower-banded; the outer m_far mask discards the rest anyway)
-        fused = _mix_bwd_fused_pallas(m_far.T, dout, states4)
+        fused = _mix_bwd_fused_pallas(m_t, dout, states4)
         if fused is not None:
             dstates, dm = fused
             return dm.astype(m_far.dtype), dstates
-        dstates = _mix_pallas(m_far.T, dout, lower=False)
-        dm = _dm_pallas(dout, states4, _mix_bands(m_far.shape[0], True))
+        dstates = _mix_pallas(m_t, dout, lower=False)
+        dm = _dm_pallas(dout, states4, _mix_bands(n, True), batched=batched)
         dm = dm.astype(m_far.dtype)
     else:
         dstates = jnp.einsum(
-            "ji,bjrd->bird", m_far, dout, preferred_element_type=jnp.float32
+            "bji,bjrd->bird" if batched else "ji,bjrd->bird",
+            m_far, dout, preferred_element_type=jnp.float32,
         ).astype(states4.dtype)
         dm = jnp.einsum(
-            "bird,bjrd->ij", dout, states4, preferred_element_type=jnp.float32
+            "bird,bjrd->bij" if batched else "bird,bjrd->ij",
+            dout, states4, preferred_element_type=jnp.float32,
         ).astype(m_far.dtype)
     return dm, dstates
 
@@ -551,7 +592,9 @@ def _st_fwd_kernel(g, c, nh, dk, dv, q_ref, k_ref, v_ref, mt_ref, mb_ref, o_ref)
     s = g * c
     f32 = jnp.float32
     keep, rep = _st_masks(s, g, c)
-    mbb = mb_ref[0]  # [G, G] fp32 (scaled chunk-mixing block incl. diagonal)
+    # [G, G] fp32 scaled chunk-mixing block incl. diagonal; rank 3 = shared
+    # across the batch, rank 4 = per-batch-row (packed-varlen path)
+    mbb = mb_ref[0] if mb_ref.ndim == 3 else mb_ref[0, 0]
     w = jnp.dot(jnp.dot(rep, mbb), rep.T, preferred_element_type=f32)
     w = jnp.where(keep, w, 0.0)
     rowmask = [
@@ -593,7 +636,7 @@ def _st_bwd_kernel(
     s = g * c
     f32 = jnp.float32
     keep, rep = _st_masks(s, g, c)
-    mbb = mb_ref[0]
+    mbb = mb_ref[0] if mb_ref.ndim == 3 else mb_ref[0, 0]
     w = jnp.dot(jnp.dot(rep, mbb), rep.T, preferred_element_type=f32)
     w = jnp.where(keep, w, 0.0)
     keep_f = keep.astype(f32)
@@ -677,6 +720,12 @@ def _pick_supertile(n, c, h, dk, dv, nbytes) -> int:
     return g
 
 
+def _mb_spec(g: int, batched: bool):
+    if batched:
+        return pl.BlockSpec((1, 1, g, g), lambda bi, ni: (bi, ni, 0, 0))
+    return pl.BlockSpec((1, g, g), lambda bi, ni: (ni, 0, 0))
+
+
 def _phase_c_st_pallas(q4, k4, v4, mixed4, mb, g: int, c: int, h: int):
     b, ns, s, hdk = q4.shape
     hdv = v4.shape[-1]
@@ -692,7 +741,7 @@ def _phase_c_st_pallas(q4, k4, v4, mixed4, mb, g: int, c: int, h: int):
             pl.BlockSpec((1, 1, s, hdk), lambda bi, ni: (bi, ni, 0, 0)),
             pl.BlockSpec((1, 1, s, hdv), lambda bi, ni: (bi, ni, 0, 0)),
             pl.BlockSpec((1, g, hdk, dv), lambda bi, ni: (bi, ni, 0, 0)),
-            pl.BlockSpec((1, g, g), lambda bi, ni: (ni, 0, 0)),
+            _mb_spec(g, mb.ndim == 4),
         ],
         out_specs=pl.BlockSpec((1, 1, s, hdv), lambda bi, ni: (bi, ni, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, ns, s, hdv), q4.dtype),
@@ -722,7 +771,7 @@ def _phase_c_st_bwd_pallas(q4, k4, v4, mixed4, mb, do4, g: int, c: int, h: int):
             pl.BlockSpec((1, 1, s, hdk), lambda bi, ni: (bi, ni, 0, 0)),
             pl.BlockSpec((1, 1, s, hdv), lambda bi, ni: (bi, ni, 0, 0)),
             pl.BlockSpec((1, g, hdk, dv), lambda bi, ni: (bi, ni, 0, 0)),
-            pl.BlockSpec((1, g, g), lambda bi, ni: (ni, 0, 0)),
+            _mb_spec(g, mb.ndim == 4),
             pl.BlockSpec((1, 1, s, hdv), lambda bi, ni: (bi, ni, 0, 0)),
         ],
         out_specs=(
@@ -747,12 +796,13 @@ def _phase_c_st_bwd_pallas(q4, k4, v4, mixed4, mb, do4, g: int, c: int, h: int):
         interpret=_interpret(),
     )(q4, k4, v4, mixed4, mb, do4)
     dq4, dk4, dv4, dmixed4, dmb_rows = outs
-    # fold the per-(batch, supertile) [P, S] row partial back to [NS, G, G]:
-    # dmb = sum_b rep_p^T(..) @ rep
+    # fold the per-(batch, supertile) [P, S] row partial back to [NS, G, G]
+    # (shared mb: sum over batch) or [B, NS, G, G] (per-batch-row mb)
     rep = (
         jnp.arange(s)[:, None] // c == jnp.arange(g)[None, :]
     ).astype(jnp.float32)
-    dmb = jnp.einsum("bnps,sg->npg", dmb_rows[:, :, :g, :], rep)
+    eq = "bnps,sg->bnpg" if mb.ndim == 4 else "bnps,sg->npg"
+    dmb = jnp.einsum(eq, dmb_rows[:, :, :g, :], rep)
     return dq4, dk4, dv4, dmixed4, dmb
 
 
@@ -765,7 +815,8 @@ def _phase_c_st_bwd_pallas(q4, k4, v4, mixed4, mb, do4, g: int, c: int, h: int):
 
 def _core_xla(q5, k5, v5, mixed, m_diag):
     """jnp phase C over [B, N, C, H, D] chunks:
-    o_j = q_j @ mixed_j + M[j,j] * (tril(q_j k_j^T) @ v_j)."""
+    o_j = q_j @ mixed_j + M[j,j] * (tril(q_j k_j^T) @ v_j).
+    m_diag: [N] (shared mixing matrix) or [B, N] (per-batch-row)."""
     f32 = jnp.float32
     cdt = q5.dtype
     o_inter = jnp.einsum(
@@ -774,9 +825,10 @@ def _core_xla(q5, k5, v5, mixed, m_diag):
     attn = jnp.einsum("bnchk,bnmhk->bnhcm", q5, k5, preferred_element_type=f32)
     c = q5.shape[2]
     attn = (attn * jnp.tril(jnp.ones((c, c), f32))).astype(cdt)
+    diag = m_diag[None, :] if m_diag.ndim == 1 else m_diag
     o_intra = jnp.einsum(
         "bnhcm,bnmhv->bnchv", attn, v5, preferred_element_type=f32
-    ) * m_diag[None, :, None, None, None]
+    ) * diag[:, :, None, None, None]
     return (o_inter + o_intra).astype(q5.dtype)
 
 
@@ -865,12 +917,15 @@ def _st_path_bwd(g, c, h, res, do4):
         sup(do4.astype(q4c.dtype), hdv), g, cc, h,
     )
     dmt4 = dmt4.astype(states4.dtype)
-    fused = _mix_bwd_fused_pallas(m_far.T, dmt4, states4)
+    m_t = jnp.swapaxes(m_far, -1, -2)  # batched-safe transpose ([B, N, N])
+    fused = _mix_bwd_fused_pallas(m_t, dmt4, states4)
     if fused is not None:
         dstates, dm = fused
     else:
-        dstates = _mix_pallas(m_far.T, dmt4, lower=False)
-        dm = _dm_pallas(dmt4, states4, _mix_bands(n, True))
+        dstates = _mix_pallas(m_t, dmt4, lower=False)
+        dm = _dm_pallas(
+            dmt4, states4, _mix_bands(n, True), batched=m_far.ndim == 3
+        )
     # the dm accumulation is banded, not exact-masked: entries at/above the
     # supertile block diagonal are real inner products but not part of
     # m_far's domain (those rows live in mb) — mask them out here
@@ -908,6 +963,7 @@ def mhla_chunk_fused_flat(
     num_heads: int,
     chunk_size: int = 64,
     output_final_state: bool = False,
+    segment_ids: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Chunked MHLA on head-flat [B, T, H*D] tensors (fused Pallas fwd+bwd).
 
@@ -916,8 +972,18 @@ def mhla_chunk_fused_flat(
     a model layer that calls this never pays the [B,T,H,D] <-> [B,T,H*D]
     TPU tile-relayout (~0.6 ms at 32k/8h/128d, measured) that the 4D API
     costs. Semantics match :func:`mhla_tpu.ops.mhla_chunk` exactly.
+
+    ``segment_ids`` [B, T] enables packed varlen training with exact
+    document isolation (chunk-aligned boundaries; see
+    ``ops.mhla_chunk.build_segment_mixing``). The op is linear in the
+    mixing entries, so the same Pallas kernels run with a per-batch-row
+    [B, N, N] matrix — only the M BlockSpecs gain a batch index.
     """
-    from ..ops.mhla_chunk import _pad_to_chunks, prepare_mixing_matrix
+    from ..ops.mhla_chunk import (
+        _pad_to_chunks,
+        build_segment_mixing,
+        prepare_mixing_matrix,
+    )
 
     in_dtype = q.dtype
     b, t, hdk = q.shape
@@ -935,8 +1001,13 @@ def mhla_chunk_fused_flat(
 
     # fold the q scale into the mixing matrix: the output is linear in M for
     # both the near ((scale*M) qk^T v) and far (q @ (scale*M) S) terms
-    m = prepare_mixing_matrix(mixing_matrix, n_real) * (dk**-0.5)
-    m = jnp.tril(m)
+    if segment_ids is None:
+        m = prepare_mixing_matrix(mixing_matrix, n_real) * (dk**-0.5)
+    else:
+        m = build_segment_mixing(
+            mixing_matrix, segment_ids, n_real, chunk_size
+        ) * (dk**-0.5)
+    m = jnp.tril(m)  # batched tril acts on the last two dims
 
     gsz = _pick_supertile(n_real, c, h, dk, dv, 2 if cdt == jnp.bfloat16 else 4)
     use_st = _use_pallas(c, dk, dv) and gsz * c >= 128
@@ -954,8 +1025,13 @@ def mhla_chunk_fused_flat(
         q5 = q4c.reshape(b, n_real, c, h, dk)
         k5 = k4c.reshape(b, n_real, c, h, dk)
         v5 = v4c.reshape(b, n_real, c, h, dv)
+        m_diag = (
+            jnp.diagonal(m)
+            if m.ndim == 2
+            else jnp.diagonal(m, axis1=1, axis2=2)
+        )
         o = _core_xla(
-            q5, k5, v5, mixed4.reshape(b, n_real, h, dk, dv), jnp.diagonal(m)
+            q5, k5, v5, mixed4.reshape(b, n_real, h, dk, dv), m_diag
         )
         o = o.reshape(b, n_real * c, h * dv)[:, :t].astype(in_dtype)
         states_out = (
@@ -975,16 +1051,22 @@ def mhla_chunk_fused_flat(
     if pad_n:
         pw = ((0, 0), (0, pad_n), (0, 0), (0, 0))
         q4c, k4c, v4c = jnp.pad(q4c, pw), jnp.pad(k4c, pw), jnp.pad(v4c, pw)
-        m = jnp.pad(m, ((0, pad_n), (0, pad_n)))
+        mpad = ((0, pad_n), (0, pad_n))
+        m = jnp.pad(m, mpad if m.ndim == 2 else (((0, 0),) + mpad))
     ns = n // gsz
 
     # near-mixing blocks: the G x G diagonal blocks of M (incl. the chunk
     # diagonal); far mixing: everything strictly below the block diagonal
     sidx = jnp.arange(n) // gsz
     m_far = jnp.where(sidx[:, None] > sidx[None, :], m, 0.0)
-    mb = jnp.diagonal(
-        m.reshape(ns, gsz, ns, gsz), axis1=0, axis2=2
-    ).transpose(2, 0, 1)  # [NS, G, G]
+    if m.ndim == 2:
+        mb = jnp.diagonal(
+            m.reshape(ns, gsz, ns, gsz), axis1=0, axis2=2
+        ).transpose(2, 0, 1)  # [NS, G, G]
+    else:
+        mb = jnp.diagonal(
+            m.reshape(b, ns, gsz, ns, gsz), axis1=1, axis2=3
+        ).transpose(0, 3, 1, 2)  # [B, NS, G, G]
 
     # A -> B -> C as one differentiable unit (hand-scheduled backward:
     # residual adds fused into the phase-A bwd kernel, dmixed streamed once)
@@ -1013,6 +1095,7 @@ def mhla_chunk_fused(
     mixing_matrix: jax.Array,
     chunk_size: int = 64,
     output_final_state: bool = False,
+    segment_ids: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Drop-in for :func:`mhla_tpu.ops.mhla_chunk` with the fused Pallas
     supertile kernels — same [B, T, H, D] API, fp32-accumulation numerics.
@@ -1031,5 +1114,6 @@ def mhla_chunk_fused(
         num_heads=h,
         chunk_size=chunk_size,
         output_final_state=output_final_state,
+        segment_ids=segment_ids,
     )
     return o.reshape(b, t, h, dv), states_out

@@ -30,13 +30,15 @@ def sdpa(
     causal: bool = False,
     window: Optional[int] = None,
     mask: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Scaled dot-product attention over [B, T, H, D] tensors.
 
     Long self-attention sequences on TPU dispatch to the Pallas flash kernel
     (XLA's einsum path materializes the [T, T] scores — 2 GB+ at Wan's 31.5k
     tokens); short or cross-shaped cases stay on the fused XLA path.
-    ``mask`` is a broadcastable boolean [B, H, Tq, Tk] keep-mask.
+    ``mask`` is a broadcastable boolean [B, H, Tq, Tk] keep-mask;
+    ``segment_ids`` [B, T] restricts attention within packed documents.
     """
     if (
         window is None
@@ -48,7 +50,11 @@ def sdpa(
     ):
         from ..kernels.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, causal=causal)
+        return flash_attention(q, k, v, causal=causal, segment_ids=segment_ids)
+    if segment_ids is not None:
+        same = segment_ids[:, :, None] == segment_ids[:, None, :]
+        same = same[:, None]  # [B, 1, T, T]
+        mask = same if mask is None else (mask & same)
     local_window = (window - 1, 0) if window else None
     return jax.nn.dot_product_attention(
         q, k, v, mask=mask, is_causal=causal, local_window_size=local_window
@@ -77,6 +83,7 @@ class SelfAttention(nn.Module):
         x: jax.Array,  # [B, T, hidden]
         kv_cache: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
         use_cache: bool = False,
+        segment_ids: Optional[jax.Array] = None,  # [B, T] packed-varlen docs
     ):
         b, t, _ = x.shape
         h = self.num_heads
@@ -102,8 +109,26 @@ class SelfAttention(nn.Module):
             cos, sin = rotary_cos_sin(
                 self.max_position_embeddings, d, self.rope_theta
             )
-            q = apply_rotary(q, cos, sin, offset=offset)
-            k = apply_rotary(k, cos, sin, offset=offset)
+            if segment_ids is not None:
+                # packed varlen: positions restart at each document
+                from ..ops.mhla_chunk import segment_positions
+
+                pos = segment_positions(segment_ids)
+                cos_t = cos[pos][:, :, None, :]  # [B, T, 1, D/2]
+                sin_t = sin[pos][:, :, None, :]
+                rot = lambda x: jnp.concatenate(  # noqa: E731
+                    [
+                        x[..., : cos.shape[-1]] * cos_t
+                        - x[..., cos.shape[-1] :] * sin_t,
+                        x[..., cos.shape[-1] :] * cos_t
+                        + x[..., : cos.shape[-1]] * sin_t,
+                    ],
+                    axis=-1,
+                ).astype(x.dtype)
+                q, k = rot(q), rot(k)
+            else:
+                q = apply_rotary(q, cos, sin, offset=offset)
+                k = apply_rotary(k, cos, sin, offset=offset)
 
         new_cache = None
         if kv_cache is not None:
@@ -121,7 +146,10 @@ class SelfAttention(nn.Module):
             if kv_h != h:
                 k = jnp.repeat(k, h // kv_h, axis=2)
                 v = jnp.repeat(v, h // kv_h, axis=2)
-            o = sdpa(q, k, v, causal=self.causal, window=self.window_size)
+            o = sdpa(
+                q, k, v, causal=self.causal, window=self.window_size,
+                segment_ids=segment_ids,
+            )
             if use_cache:
                 new_cache = (k, v, t)
 

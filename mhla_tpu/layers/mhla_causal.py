@@ -114,6 +114,7 @@ class MHLACausal(nn.Module):
         state: Optional[MHLACausalState] = None,
         use_cache: bool = False,
         attention_mask: Optional[jax.Array] = None,  # [B, T] 1=real 0=pad
+        segment_ids: Optional[jax.Array] = None,  # [B, T] packed-varlen docs
     ) -> Tuple[jax.Array, Optional[MHLACausalState]]:
         b, t, _ = hidden_states.shape
         head_k, head_v = self.head_dims()
@@ -140,18 +141,20 @@ class MHLACausal(nn.Module):
 
         conv_q = conv_k = conv_v = None
         if self.use_short_conv:
+            # segment_ids reset the conv at document boundaries (reference:
+            # cu_seqlens into ShortConvolution, ``fla/layers/mhla.py:262-279``)
             q, conv_q = ShortConvolution(
                 self.key_dim, self.conv_size, activation="silu",
                 dtype=self.dtype, name="q_conv1d",
-            )(q, state.conv_q if state else None, use_cache)
+            )(q, state.conv_q if state else None, use_cache, segment_ids)
             k, conv_k = ShortConvolution(
                 self.key_dim // groups, self.conv_size, activation="silu",
                 dtype=self.dtype, name="k_conv1d",
-            )(k, state.conv_k if state else None, use_cache)
+            )(k, state.conv_k if state else None, use_cache, segment_ids)
             v, conv_v = ShortConvolution(
                 self.value_dim // groups, self.conv_size, activation="silu",
                 dtype=self.dtype, name="v_conv1d",
-            )(v, state.conv_v if state else None, use_cache)
+            )(v, state.conv_v if state else None, use_cache, segment_ids)
 
         # Head-flat stance (CLAUDE.md / VERDICT r2 #1): q/k/v stay in the
         # projection-natural [B, T, H*D] layout through GQA expansion,
@@ -192,9 +195,19 @@ class MHLACausal(nn.Module):
         cos, sin = rotary_cos_sin(max_len, head_k, self.rope_base, jnp.float32)
         from ..kernels import fused_fmap_rope_flat
 
+        positions = None
+        if segment_ids is not None:
+            # packed varlen: rotary positions restart at each document
+            from ..ops.mhla_chunk import segment_positions
+
+            positions = segment_positions(segment_ids)
         fm = fmap_name if flat_fmap_ok else None
-        q = fused_fmap_rope_flat(q, cos, sin, self.num_heads, fm, offset=offset)
-        k = fused_fmap_rope_flat(k, cos, sin, self.num_heads, fm, offset=offset)
+        q = fused_fmap_rope_flat(
+            q, cos, sin, self.num_heads, fm, offset=offset, positions=positions
+        )
+        k = fused_fmap_rope_flat(
+            k, cos, sin, self.num_heads, fm, offset=offset, positions=positions
+        )
 
         mixing = self.param(
             "mixing_matrix",
@@ -205,6 +218,11 @@ class MHLACausal(nn.Module):
 
         decode = state is not None and t <= self.chunk_size
         if decode or self.mode == "fused_recurrent":
+            if segment_ids is not None:
+                raise ValueError(
+                    "segment_ids (packed varlen) is a training-path feature; "
+                    "the recurrent decode path carries one document per row"
+                )
             rec = state.recurrent if state is not None else None
             o4, rec = mhla_recurrent(
                 q.reshape(b, t, self.num_heads, head_k),
@@ -221,6 +239,7 @@ class MHLACausal(nn.Module):
             o, states = mhla_chunk_fused_flat(
                 q, k, v, mixing, num_heads=self.num_heads,
                 chunk_size=self.chunk_size, output_final_state=use_cache,
+                segment_ids=segment_ids,
             )
             rec = None
             if use_cache:

@@ -36,6 +36,7 @@ class ShortConvolution(nn.Module):
         x: jax.Array,  # [B, T, D]
         cache: Optional[jax.Array] = None,  # [B, kernel_size-1, D]
         output_final_state: bool = False,
+        segment_ids: Optional[jax.Array] = None,  # [B, T]
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         w = self.param(
             "kernel",
@@ -56,10 +57,23 @@ class ShortConvolution(nn.Module):
         else:
             ctx = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
 
-        # depthwise causal conv: windows of length kernel_size ending at t
+        # depthwise causal conv: windows of length kernel_size ending at t.
+        # With segment_ids (packed varlen), taps that reach across a document
+        # boundary are zeroed — exactly the reference's cu_seqlens conv reset
+        # (``fla/modules/convolution.py`` varlen path) with static shapes.
+        seg_ctx = None
+        if segment_ids is not None:
+            pad_seg = jnp.full(
+                (segment_ids.shape[0], self.kernel_size - 1), -1, segment_ids.dtype
+            )
+            seg_ctx = jnp.concatenate([pad_seg, segment_ids], axis=1)
         y = jnp.zeros_like(x)
         for i in range(self.kernel_size):
-            y = y + ctx[:, i : i + x.shape[1]] * w[i]
+            tap = ctx[:, i : i + x.shape[1]]
+            if seg_ctx is not None:
+                same = seg_ctx[:, i : i + x.shape[1]] == segment_ids
+                tap = tap * same[..., None].astype(tap.dtype)
+            y = y + tap * w[i]
         if b is not None:
             y = y + b
         y = self._act(y)

@@ -116,6 +116,7 @@ class MHLABlock(nn.Module):
         state: Optional[Any] = None,
         use_cache: bool = False,
         attention_mask: Optional[jax.Array] = None,
+        segment_ids: Optional[jax.Array] = None,
     ):
         cfg = self.config
         # 'transformer' = every layer softmax (the reference's transformer
@@ -124,6 +125,13 @@ class MHLABlock(nn.Module):
         is_softmax = cfg.attn_extends == "transformer" or (
             cfg.attn is not None and self.layer_idx in cfg.attn.get("layers", ())
         )
+        if segment_ids is not None and not (
+            is_softmax or cfg.attn_extends == "mhla"
+        ):
+            raise NotImplementedError(
+                "packed-varlen segment_ids is implemented for the mhla and "
+                f"softmax attention paths, not attn_extends={cfg.attn_extends}"
+            )
 
         h = RMSNorm(eps=cfg.norm_eps, name="attn_norm")(x)
         if is_softmax:
@@ -139,7 +147,7 @@ class MHLABlock(nn.Module):
                 dtype=cfg.dtype,
                 name="attn",
             )
-            h, new_state = attn(h, state, use_cache)
+            h, new_state = attn(h, state, use_cache, segment_ids)
         elif cfg.attn_extends == "mhla":
             attn = MHLACausal(
                 hidden_size=cfg.hidden_size,
@@ -159,7 +167,7 @@ class MHLABlock(nn.Module):
                 dtype=cfg.dtype,
                 name="attn",
             )
-            h, new_state = attn(h, state, use_cache, attention_mask)
+            h, new_state = attn(h, state, use_cache, attention_mask, segment_ids)
         elif cfg.attn_extends in ("gla", "simple_gla"):
             from ..layers.gla import GatedLinearAttention
 
@@ -242,6 +250,7 @@ class MHLAModel(nn.Module):
         states: Optional[List[Any]] = None,
         use_cache: bool = False,
         attention_mask: Optional[jax.Array] = None,
+        segment_ids: Optional[jax.Array] = None,
     ):
         cfg = self.config
         x = nn.Embed(
@@ -257,7 +266,7 @@ class MHLAModel(nn.Module):
         for i in range(cfg.num_hidden_layers):
             layer_state = states[i] if states is not None else None
             x, s = block_cls(cfg, i, name=f"layers_{i}")(
-                x, layer_state, use_cache, attention_mask
+                x, layer_state, use_cache, attention_mask, segment_ids
             )
             new_states.append(s)
         x = RMSNorm(eps=cfg.norm_eps, name="norm")(x)
@@ -276,10 +285,11 @@ class MHLAForCausalLM(nn.Module):
         use_cache: bool = False,
         output_hidden: bool = False,
         attention_mask: Optional[jax.Array] = None,
+        segment_ids: Optional[jax.Array] = None,
     ):
         cfg = self.config
         x, new_states = MHLAModel(cfg, self.remat, name="model")(
-            input_ids, states, use_cache, attention_mask
+            input_ids, states, use_cache, attention_mask, segment_ids
         )
         if output_hidden:
             # caller computes the loss via fused_linear_cross_entropy with

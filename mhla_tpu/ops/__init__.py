@@ -14,13 +14,16 @@ from .block_mix import (
 )
 from .feature_maps import FEATURE_MAPS, get_feature_map
 from .mhla_blockwise import mhla_blockwise
+from .losses import fused_kl_div_loss, fused_linear_cross_entropy, grpo_loss, l2_warp
 from .mhla_chunk import (
     DEFAULT_CHUNK_SIZE,
+    build_segment_mixing,
     clamp_causal_mixing_matrix,
     init_causal_mixing_matrix,
     mhla_chunk,
     mhla_chunk_ref,
     prepare_mixing_matrix,
+    segment_positions,
 )
 from .mhla_recurrent import (
     MHLAState,
@@ -35,6 +38,7 @@ from .rotary import (
     rope_params_3d,
     rotary_cos_sin,
 )
+from .token_shift import token_shift
 
 __all__ = [
     "DEFAULT_CHUNK_SIZE",
@@ -46,8 +50,13 @@ __all__ = [
     "block_centers",
     "block_distance_matrix",
     "block_mixing_matrix",
+    "build_segment_mixing",
     "clamp_causal_mixing_matrix",
+    "fused_kl_div_loss",
+    "fused_linear_cross_entropy",
     "get_feature_map",
+    "grpo_loss",
+    "l2_warp",
     "init_causal_mixing_matrix",
     "init_mhla_state",
     "layout_2d_from_patches",
@@ -59,5 +68,7 @@ __all__ = [
     "rope_angles_3d",
     "rope_params_3d",
     "rotary_cos_sin",
+    "segment_positions",
     "state_from_chunk",
+    "token_shift",
 ]

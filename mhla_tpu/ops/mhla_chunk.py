@@ -80,6 +80,79 @@ def clamp_causal_mixing_matrix(m: jax.Array, min_val: float = 1e-5) -> jax.Array
     return jnp.tril(jnp.clip(m, min_val, 1.0))
 
 
+def chunk_segments(segment_ids: jax.Array, num_chunks: int, chunk_size: int):
+    """Per-chunk segment id and document-relative chunk index.
+
+    ``segment_ids`` [B, T] int32, non-decreasing along T, with document
+    boundaries aligned to ``chunk_size`` (the varlen packer guarantees this;
+    see ``data.lm_data.PackedVarlenIterator``). Right-pads beyond T are treated
+    as a fresh segment. Returns (chunk_seg [B, N], rel [B, N]) where
+    ``rel[b, n]`` is the chunk's index *within its own document* — the row
+    of the mixing matrix it reads, exactly as if the document were run as
+    its own sequence.
+    """
+    b, t = segment_ids.shape
+    pad = num_chunks * chunk_size - t
+    if pad:
+        fresh = segment_ids.max(axis=1, keepdims=True) + 1
+        segment_ids = jnp.concatenate(
+            [segment_ids, jnp.broadcast_to(fresh, (b, pad))], axis=1
+        )
+    chunk_seg = segment_ids.reshape(b, num_chunks, chunk_size)[:, :, 0]
+    idx = jnp.arange(num_chunks, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [
+            jnp.ones((b, 1), bool),
+            chunk_seg[:, 1:] != chunk_seg[:, :-1],
+        ],
+        axis=1,
+    )
+    start = jax.lax.cummax(jnp.where(is_start, idx[None, :], 0), axis=1)
+    return chunk_seg, idx[None, :] - start
+
+
+def segment_positions(segment_ids: jax.Array) -> jax.Array:
+    """Per-token position within its own document: [B, T] int32, restarting
+    at 0 at every segment boundary (the rotary/decode position stream for
+    packed varlen rows)."""
+    b, t = segment_ids.shape
+    idx = jnp.arange(t, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((b, 1), bool), segment_ids[:, 1:] != segment_ids[:, :-1]],
+        axis=1,
+    )
+    start = jax.lax.cummax(jnp.where(is_start, idx[None, :], 0), axis=1)
+    return idx[None, :] - start
+
+
+def build_segment_mixing(
+    mixing_matrix: jax.Array, segment_ids: jax.Array,
+    num_chunks: int, chunk_size: int,
+) -> jax.Array:
+    """Per-row effective mixing matrix for packed variable-length training.
+
+    The reference trains on packed rows with cu_seqlens (flame collator,
+    ``legacy/training/flame/data.py:157-246``); its chunked op ignores them
+    (``fla/ops/mhla/naive.py:11`` swallows kwargs), so documents leak into
+    each other's chunk states there. Here packed documents are exactly
+    isolated: with chunk-aligned boundaries, chunk ``i`` of a document reads
+    chunk ``j`` of the *same* document with weight ``M[i - s, j - s]``
+    (``s`` = the document's first chunk), and cross-document weights are
+    zero. The op stays linear in the mixing entries, so the fused Pallas
+    path reuses the same kernels with a batched matrix.
+
+    Returns mvar [B, N, N] fp32 (lower-triangular by construction).
+    """
+    m = jnp.asarray(mixing_matrix)
+    m = m.reshape(m.shape[0], m.shape[1]).astype(jnp.float32)
+    chunk_seg, rel = chunk_segments(segment_ids, num_chunks, chunk_size)
+    # documents longer than the matrix would gather out of range; jnp clamps,
+    # matching prepare_mixing_matrix's contract (packer enforces the bound)
+    same = chunk_seg[:, :, None] == chunk_seg[:, None, :]
+    mvar = m[rel[:, :, None], rel[:, None, :]]
+    return jnp.tril(jnp.where(same, mvar, 0.0))
+
+
 @partial(jax.jit, static_argnames=("chunk_size", "output_final_state"))
 def mhla_chunk(
     q: jax.Array,
@@ -88,6 +161,7 @@ def mhla_chunk(
     mixing_matrix: jax.Array,
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     output_final_state: bool = False,
+    segment_ids: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Causal chunked MHLA.
 
@@ -95,10 +169,16 @@ def mhla_chunk(
       q, k: [B, T, H, Dk]  (post feature-map / RoPE)
       v:    [B, T, H, Dv]
       mixing_matrix: [L, L] (or [L, L, 1, 1, 1, 1]); rows/cols beyond the
-        actual chunk count are ignored. Must satisfy L >= ceil(T/chunk_size).
+        actual chunk count are ignored. Must satisfy L >= ceil(T/chunk_size)
+        (or, with segment_ids, L >= the longest document's chunk count).
       chunk_size: tokens per chunk (reference default 64).
       output_final_state: also return the per-chunk state stack
         [B, H, N, Dk, Dv] (the decode cache layout).
+      segment_ids: optional [B, T] int32 document ids for packed varlen
+        training (non-decreasing, chunk-aligned boundaries). Documents are
+        exactly isolated and each reads the mixing matrix at its own
+        document-relative chunk indices — a packed row equals the documents
+        run separately (see :func:`build_segment_mixing`).
 
     Returns:
       (o [B, T, H, Dv], states or None)
@@ -124,9 +204,14 @@ def mhla_chunk(
     n = q.shape[1] // chunk_size
     c = chunk_size
 
-    m = prepare_mixing_matrix(mixing_matrix, n)
-    m_strict = jnp.tril(m, k=-1)  # inter-chunk weights
-    m_diag = jnp.diagonal(m)  # intra-chunk weights
+    if segment_ids is None:
+        m = prepare_mixing_matrix(mixing_matrix, n)
+        m_strict = jnp.tril(m, k=-1)  # inter-chunk weights [N, N]
+        m_diag = jnp.diagonal(m)  # intra-chunk weights [N]
+    else:
+        mvar = build_segment_mixing(mixing_matrix, segment_ids, n, chunk_size)
+        m_strict = jnp.tril(mvar, k=-1)  # [B, N, N]
+        m_diag = jnp.diagonal(mvar, axis1=1, axis2=2)  # [B, N]
 
     # Free reshape: [B, N, C, H, D] — no transpose, H rides as a batch axis.
     q = (q.reshape(b, n, c, h, dk).astype(f32) * scale).astype(cdt)
@@ -137,10 +222,16 @@ def mhla_chunk(
     states = jnp.einsum("bnchk,bnchv->bnhkv", k, v, preferred_element_type=f32)
 
     # Mix past states: S~_i = sum_{j<i} M[i,j] S_j — one [N,N]@[N,H*Dk*Dv] matmul
-    mixed = jnp.einsum(
-        "ij,bjhkv->bihkv", m_strict.astype(cdt), states.astype(cdt),
-        preferred_element_type=f32,
-    )
+    if segment_ids is None:
+        mixed = jnp.einsum(
+            "ij,bjhkv->bihkv", m_strict.astype(cdt), states.astype(cdt),
+            preferred_element_type=f32,
+        )
+    else:
+        mixed = jnp.einsum(
+            "bij,bjhkv->bihkv", m_strict.astype(cdt), states.astype(cdt),
+            preferred_element_type=f32,
+        )
 
     # Inter-chunk read-out  (MXU)
     o_inter = jnp.einsum(
@@ -153,7 +244,11 @@ def mhla_chunk(
     attn = (attn * tril).astype(cdt)
     o_intra = jnp.einsum(
         "bnhcm,bnmhv->bnchv", attn, v, preferred_element_type=f32
-    ) * m_diag[None, :, None, None, None]
+    )
+    if segment_ids is None:
+        o_intra = o_intra * m_diag[None, :, None, None, None]
+    else:
+        o_intra = o_intra * m_diag[:, :, None, None, None]
 
     o = (o_inter + o_intra).reshape(b, n * c, h, dv)[:, :t]
     states_out = states.transpose(0, 2, 1, 3, 4) if output_final_state else None

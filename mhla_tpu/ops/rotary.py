@@ -16,7 +16,7 @@ reference in tests — see SURVEY.md section 5 numerics notes).
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +59,7 @@ def apply_rotary_flat(
     sin: jax.Array,
     num_heads: int,
     offset: int | jax.Array = 0,
+    positions: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Rotate-half rotary on head-flat x [B, T, H*D] with the SAME small
     [>=T+offset, D/2] tables as :func:`apply_rotary` — exactly equal to
@@ -67,17 +68,26 @@ def apply_rotary_flat(
     built as 4H minor-axis slices that XLA fuses into one FMA pass. The
     [B,T,H,D] reshape is a real TPU tile-relayout copy (CLAUDE.md); tiling
     the tables to [T, H*D] would stream H*D/2-times the table bytes —
-    this form avoids both."""
+    this form avoids both.
+
+    ``positions`` [B, T] overrides the contiguous [offset, offset+T) range
+    with explicit per-token table rows — the packed-varlen path, where each
+    document restarts at position 0 (the reference resets via rotary
+    cu_seqlens, ``fla/modules/rotary.py``)."""
     t = x.shape[1]
     dh = x.shape[-1] // num_heads
     half = dh // 2
     assert cos.shape[-1] == half, "flat rotary requires full-head-dim tables"
-    cos_t = jax.lax.dynamic_slice_in_dim(cos, offset, t, axis=0)[None].astype(
-        jnp.float32
-    )
-    sin_t = jax.lax.dynamic_slice_in_dim(sin, offset, t, axis=0)[None].astype(
-        jnp.float32
-    )
+    if positions is not None:
+        cos_t = cos[positions].astype(jnp.float32)  # [B, T, half]
+        sin_t = sin[positions].astype(jnp.float32)
+    else:
+        cos_t = jax.lax.dynamic_slice_in_dim(cos, offset, t, axis=0)[
+            None
+        ].astype(jnp.float32)
+        sin_t = jax.lax.dynamic_slice_in_dim(sin, offset, t, axis=0)[
+            None
+        ].astype(jnp.float32)
     xf = x.astype(jnp.float32)
     parts = []
     for hi in range(num_heads):

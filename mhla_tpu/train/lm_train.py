@@ -54,6 +54,9 @@ class TrainLoopConfig:
     n_data: int = 1
     resume_from: Optional[str] = "latest"
     nan_patience: int = 20
+    # packed varlen training (flame --varlen): multiple documents per row,
+    # exact per-document attention/rotary resets via segment_ids
+    varlen: bool = False
 
 
 @dataclasses.dataclass
@@ -96,8 +99,14 @@ def main(argv=None) -> dict:
     tx = make_optimizer(cfg.optimizer)
 
     def loss_fn(p, batch, _rng):
-        logits, _ = model.apply(p, batch)
-        loss = cross_entropy_loss(logits, batch)
+        if isinstance(batch, dict):  # varlen: dict rows with exact targets
+            logits, _ = model.apply(
+                p, batch["input_ids"], segment_ids=batch["segment_ids"]
+            )
+            loss = cross_entropy_loss(logits, batch["targets"])
+        else:
+            logits, _ = model.apply(p, batch)
+            loss = cross_entropy_loss(logits, batch)
         if cfg.model.use_l2warp:
             from ..ops.losses import l2_warp
 
@@ -125,6 +134,9 @@ def main(argv=None) -> dict:
             rank=topo["process_index"],
             world_size=topo["process_count"],
             seed=cfg.train.seed,
+            varlen=cfg.train.varlen,
+            chunk_size=cfg.model.chunk_size,
+            num_slots=cfg.model.num_slots,
         )
         buf = LogBuffer()
         thr = Throughput(cfg.train.max_steps)
@@ -133,7 +145,10 @@ def main(argv=None) -> dict:
         last_loss = float("nan")
 
         for step_idx in range(start_step, cfg.train.max_steps):
-            batch = jax.device_put(jnp.asarray(next(data)), batch_sharding(mesh, cfg.train.batch_size))
+            raw = next(data)
+            if not isinstance(raw, dict):
+                raw = jnp.asarray(raw)
+            batch = jax.device_put(raw, batch_sharding(mesh, cfg.train.batch_size))
             state, metrics = step_fn(state, batch, jax.random.fold_in(rng, step_idx))
             last_loss = float(metrics["loss"])
             buf.update(loss=last_loss, grad_norm=float(metrics["grad_norm"]))
