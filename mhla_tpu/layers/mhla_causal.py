@@ -15,7 +15,7 @@ carries the chunk-state stack, the absolute position, and conv states.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +59,10 @@ class MHLACausal(nn.Module):
     mode: str = "chunk"
     rope_base: float = 10000.0
     dtype: jnp.dtype = jnp.float32
+    # head-axis tensor parallelism: a jax.sharding.Mesh with a 'tensor' axis
+    # of size > 1 routes the chunk path through one shard_map (heads are
+    # independent — zero collectives inside the op; parallel.tensor_parallel)
+    tp_mesh: Optional[Any] = None
 
     @property
     def key_dim(self) -> int:
@@ -202,12 +206,22 @@ class MHLACausal(nn.Module):
 
             positions = segment_positions(segment_ids)
         fm = fmap_name if flat_fmap_ok else None
-        q = fused_fmap_rope_flat(
-            q, cos, sin, self.num_heads, fm, offset=offset, positions=positions
+
+        decode = state is not None and t <= self.chunk_size
+        tp = (
+            self.tp_mesh is not None
+            and dict(self.tp_mesh.shape).get("tensor", 1) > 1
+            and not (decode or self.mode == "fused_recurrent")
         )
-        k = fused_fmap_rope_flat(
-            k, cos, sin, self.num_heads, fm, offset=offset, positions=positions
-        )
+        if not tp:
+            q = fused_fmap_rope_flat(
+                q, cos, sin, self.num_heads, fm, offset=offset,
+                positions=positions,
+            )
+            k = fused_fmap_rope_flat(
+                k, cos, sin, self.num_heads, fm, offset=offset,
+                positions=positions,
+            )
 
         mixing = self.param(
             "mixing_matrix",
@@ -216,7 +230,6 @@ class MHLACausal(nn.Module):
         )
         mixing = clamp_causal_mixing_matrix(mixing)
 
-        decode = state is not None and t <= self.chunk_size
         if decode or self.mode == "fused_recurrent":
             if segment_ids is not None:
                 raise ValueError(
@@ -231,6 +244,26 @@ class MHLACausal(nn.Module):
                 mixing, rec, chunk_size=self.chunk_size,
             )
             o = o4.reshape(b, t, self.value_dim)
+        elif tp:
+            # head-axis TP: fmap+rope+chunk as one shard_map over the
+            # 'tensor' axis — GSPMD can't split the Pallas custom calls,
+            # each device runs them on its local head slice
+            from ..parallel.tensor_parallel import mhla_attention_tp_flat
+
+            o, states = mhla_attention_tp_flat(
+                q, k, v, mixing, cos, sin, self.num_heads, self.tp_mesh,
+                feature_map=fm, chunk_size=self.chunk_size,
+                positions=positions, segment_ids=segment_ids,
+                output_final_state=use_cache,
+            )
+            rec = None
+            if use_cache:
+                from ..ops.mhla_recurrent import state_from_chunk
+
+                rec = state_from_chunk(
+                    states, t, mixing,
+                    chunk_size=self.chunk_size, num_slots=self.num_slots,
+                )
         else:
             # fused Pallas kernels, zero-relayout entry (same math as
             # ops.mhla_chunk; kernels/mhla_chunk_pallas.py:684-690)

@@ -62,6 +62,11 @@ class MHLALMConfig:
     attn_extends: str = "mhla"
     chunk_size: int = 64
     dtype: Any = jnp.float32
+    # head-axis tensor parallelism: set at runtime (never serialized) to a
+    # jax.sharding.Mesh with a 'tensor' axis > 1 — the trainer's
+    # --train.n_tensor knob routes MHLA attention through shard_map
+    # (parallel.tensor_parallel.mhla_attention_tp_flat)
+    tp_mesh: Any = None
 
     @property
     def num_slots(self) -> int:
@@ -165,6 +170,7 @@ class MHLABlock(nn.Module):
                 num_slots=cfg.num_slots,
                 mode=cfg.attn_mode,
                 dtype=cfg.dtype,
+                tp_mesh=cfg.tp_mesh,
                 name="attn",
             )
             h, new_state = attn(h, state, use_cache, attention_mask, segment_ids)

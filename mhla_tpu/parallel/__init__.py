@@ -13,7 +13,7 @@ from .sharding import (
     shard_params,
     tp_fsdp_param_specs,
 )
-from .tensor_parallel import mhla_chunk_tp
+from .tensor_parallel import mhla_attention_tp_flat, mhla_chunk_tp
 
 __all__ = [
     "DATA_AXIS",
@@ -24,6 +24,7 @@ __all__ = [
     "fsdp_shardings",
     "fsdp_spec",
     "make_mesh",
+    "mhla_attention_tp_flat",
     "mhla_chunk_tp",
     "replicated",
     "shard_params",

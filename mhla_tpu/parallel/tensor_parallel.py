@@ -14,12 +14,14 @@ the psum from the ``tp_fsdp_param_specs`` sharding.
 
 from __future__ import annotations
 
+from typing import Optional, Tuple
+
 import jax
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .mesh import TENSOR_AXIS
+from .mesh import DATA_AXIS, FSDP_AXIS, TENSOR_AXIS
 
 
 def mhla_chunk_tp(
@@ -50,3 +52,82 @@ def mhla_chunk_tp(
         in_specs=(spec, spec, spec, P(None, None)),
         out_specs=spec,
     )(q, k, v, jnp.asarray(mixing_matrix))
+
+
+def mhla_attention_tp_flat(
+    q: jax.Array,  # [B, T, H*Dk] head-flat, post GQA expansion / masking
+    k: jax.Array,
+    v: jax.Array,  # [B, T, H*Dv]
+    mixing_matrix: jax.Array,  # [N, N] (replicated)
+    cos: jax.Array,  # rotary tables [>=T, Dk/2]
+    sin: jax.Array,
+    num_heads: int,
+    mesh: Mesh,
+    feature_map: Optional[str] = None,
+    chunk_size: int = 64,
+    axis: str = TENSOR_AXIS,
+    positions: Optional[jax.Array] = None,  # [B, T] packed-varlen rotary
+    segment_ids: Optional[jax.Array] = None,  # [B, T] packed-varlen docs
+    output_final_state: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """The MHLACausal chunk interior (fused fmap+rope -> fused chunk op)
+    with heads split over the ``tensor`` mesh axis — the trainer-reachable
+    TP path (``--train.n_tensor``).
+
+    The whole interior goes through ONE shard_map because both stages are
+    Pallas custom calls, which GSPMD cannot partition — each device runs
+    them on its local head slice (head-flat, so the shard boundary is just
+    the minor axis; heads are independent throughout). Zero collectives
+    inside: the cross-device reduction happens in the following row-parallel
+    ``o_proj`` (``tp_fsdp_param_specs``). The batch axis stays sharded over
+    (data, fsdp) exactly as ``batch_sharding`` lays it out.
+    """
+    from ..kernels import fused_fmap_rope_flat
+    from ..kernels.mhla_chunk_pallas import mhla_chunk_fused_flat
+
+    ntp = mesh.shape[axis]
+    assert num_heads % ntp == 0, f"{num_heads} heads not divisible by {ntp}"
+    h_l = num_heads // ntp
+
+    batch = (DATA_AXIS, FSDP_AXIS)
+    row_spec = P(batch, None, axis)
+    tok_spec = P(batch, None)  # per-token [B, T] side inputs
+    has_pos, has_seg = positions is not None, segment_ids is not None
+    extras = [jnp.asarray(mixing_matrix), cos, sin]
+    extra_specs = [P(None, None), P(None, None), P(None, None)]
+    if has_pos:
+        extras.append(positions)
+        extra_specs.append(tok_spec)
+    if has_seg:
+        extras.append(segment_ids)
+        extra_specs.append(tok_spec)
+
+    def local_fn(q_l, k_l, v_l, m_l, cos_, sin_, *rest):
+        pos_ = rest[0] if has_pos else None
+        seg_ = rest[-1] if has_seg else None
+        # the mixing matrix is a PARAMETER whose cotangent varies across
+        # every mesh axis (each batch/head shard contributes) but whose
+        # in_spec is replicated — pvary marks that explicitly so shard_map's
+        # transpose inserts the psum (pvary's transpose) instead of failing
+        # the static-replication check.
+        m_l = jax.lax.pvary(m_l, tuple(mesh.axis_names))
+        q_l = fused_fmap_rope_flat(q_l, cos_, sin_, h_l, feature_map,
+                                   positions=pos_)
+        k_l = fused_fmap_rope_flat(k_l, cos_, sin_, h_l, feature_map,
+                                   positions=pos_)
+        o_l, s_l = mhla_chunk_fused_flat(
+            q_l, k_l, v_l, m_l, num_heads=h_l, chunk_size=chunk_size,
+            output_final_state=output_final_state, segment_ids=seg_,
+        )
+        return (o_l, s_l) if output_final_state else (o_l,)
+
+    out_specs = (row_spec,)
+    if output_final_state:
+        out_specs = out_specs + (P(batch, axis),)  # [B, H, N, Dk, Dv]
+    outs = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(row_spec, row_spec, row_spec, *extra_specs),
+        out_specs=out_specs,
+    )(q, k, v, *extras)
+    return outs[0], (outs[1] if output_final_state else None)

@@ -52,6 +52,10 @@ class TrainLoopConfig:
     ema_decay: Optional[float] = None
     seed: int = 42
     n_data: int = 1
+    # head-axis tensor parallelism: heads split over a 'tensor' mesh axis of
+    # this size (shard_map around the fused attention; Megatron column/row
+    # kernel sharding via tp_fsdp_param_specs). num_heads % n_tensor == 0.
+    n_tensor: int = 1
     resume_from: Optional[str] = "latest"
     nan_patience: int = 20
     # packed varlen training (flame --varlen): multiple documents per row,
@@ -82,11 +86,15 @@ def main(argv=None) -> dict:
     from ..parallel.multihost import init_multihost
 
     topo = init_multihost()
-    mesh = make_mesh(n_data=cfg.train.n_data)
+    mesh = make_mesh(n_data=cfg.train.n_data, n_tensor=cfg.train.n_tensor)
     logger.info(
         f"mesh: {dict(mesh.shape)} over {jax.device_count()} devices, "
         f"process {topo['process_index']}/{topo['process_count']}"
     )
+    if cfg.train.n_tensor > 1:
+        # runtime-only field (set after dump_config — a Mesh is not YAML):
+        # routes MHLA attention through the shard_map TP path
+        cfg.model = dataclasses.replace(cfg.model, tp_mesh=mesh)
 
     model = MHLAForCausalLM(cfg.model)
     rng = jax.random.PRNGKey(cfg.train.seed)
@@ -115,7 +123,8 @@ def main(argv=None) -> dict:
 
     with mesh:
         state = init_train_state_sharded(
-            params, tx, mesh, ema=cfg.train.ema_decay is not None
+            params, tx, mesh, ema=cfg.train.ema_decay is not None,
+            tp=cfg.train.n_tensor > 1,
         )
         step_fn = make_train_step(loss_fn, tx, ema_decay=cfg.train.ema_decay)
 

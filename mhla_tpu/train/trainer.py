@@ -188,6 +188,7 @@ def init_train_state_sharded(
     mesh: Mesh,
     ema: bool = False,
     min_size: int = 2**14,
+    tp: bool = False,
 ) -> TrainState:
     """FSDP-shard the params on the mesh and build the TrainState *inside*
     jit, with EVERY TrainState leaf pinned to the same shape-only FSDP
@@ -196,18 +197,57 @@ def init_train_state_sharded(
     XLA never auto-picks a sharding. Leaving outputs unconstrained let the
     partitioner pad-shard sub-tile params (e.g. a [1,6,4] modulation table
     over 8 devices) and then hit "involuntary full rematerialization" when
-    resharding them at use sites (VERDICT r2 weak #5/#6)."""
-    from ..parallel.mesh import FSDP_AXIS
-    from ..parallel.sharding import fsdp_spec
+    resharding them at use sites (VERDICT r2 weak #5/#6).
+
+    ``tp=True`` uses the Megatron-style column/row kernel specs
+    (``tp_fsdp_param_specs``) instead; optimizer moments and EMA inherit a
+    parameter's spec by *path suffix* (every param-shaped leaf inside
+    opt_state/ema carries the param tree's own path from its ``params`` dict
+    root), so ZeRO-3 still holds on the tensor-sharded kernels."""
+    from ..parallel.mesh import FSDP_AXIS, TENSOR_AXIS
+    from ..parallel.sharding import fsdp_spec, tp_fsdp_param_specs
     from jax.sharding import NamedSharding
 
-    params = jax.device_put(params, fsdp_shardings(params, mesh, min_size))
     init = partial(init_train_state, tx=tx, ema=ema)
     fsdp_size = mesh.shape[FSDP_AXIS]
-    out_shardings = jax.tree.map(
-        lambda leaf: NamedSharding(
-            mesh, fsdp_spec(leaf.shape, fsdp_size, min_size)
-        ),
-        jax.eval_shape(init, params),
+    if not (tp and mesh.shape[TENSOR_AXIS] > 1):
+        params = jax.device_put(params, fsdp_shardings(params, mesh, min_size))
+        out_shardings = jax.tree.map(
+            lambda leaf: NamedSharding(
+                mesh, fsdp_spec(leaf.shape, fsdp_size, min_size)
+            ),
+            jax.eval_shape(init, params),
+        )
+        return jax.jit(init, out_shardings=out_shardings)(params)
+
+    specs = tp_fsdp_param_specs(params, mesh, min_size)
+    is_spec = lambda x: isinstance(x, P)  # noqa: E731
+    params = jax.device_put(
+        params,
+        jax.tree.map(lambda s: NamedSharding(mesh, s), specs, is_leaf=is_spec),
+    )
+
+    def _keystr(k):
+        return str(getattr(k, "key", getattr(k, "name", getattr(k, "idx", k))))
+
+    spec_map = {}
+
+    def _record(path, spec):
+        spec_map[tuple(_keystr(k) for k in path)] = spec
+
+    jax.tree_util.tree_map_with_path(_record, specs, is_leaf=is_spec)
+
+    def _out_shard(path, leaf):
+        keys = [_keystr(k) for k in path]
+        for i, kk in enumerate(keys):
+            if kk == "params":  # param trees root at their 'params' dict
+                got = spec_map.get(tuple(keys[i:]))
+                if got is not None:
+                    return NamedSharding(mesh, got)
+                break
+        return NamedSharding(mesh, fsdp_spec(leaf.shape, fsdp_size, min_size))
+
+    out_shardings = jax.tree_util.tree_map_with_path(
+        _out_shard, jax.eval_shape(init, params)
     )
     return jax.jit(init, out_shardings=out_shardings)(params)

@@ -122,6 +122,66 @@ class TestTensorParallel:
         o_ref, _ = mhla_chunk(q, k, v, m, chunk_size=c)
         assert_close("tp vs single device", o_ref, o_tp, 1e-5)
 
+    def test_mhla_attention_tp_flat_matches_layer_interior(self, key):
+        """The shard_map'd chunk interior (fmap+rope+op, the trainer TP
+        path) == the single-device fused path on head-flat tensors."""
+        from jax.sharding import NamedSharding
+
+        from mhla_tpu.kernels import fused_fmap_rope_flat
+        from mhla_tpu.kernels.mhla_chunk_pallas import mhla_chunk_fused_flat
+        from mhla_tpu.ops import init_causal_mixing_matrix, rotary_cos_sin
+        from mhla_tpu.parallel import mhla_attention_tp_flat
+
+        mesh = make_mesh(n_data=1, n_fsdp=2, n_tensor=4)
+        b, t, h, d, c = 2, 128, 8, 16, 32
+        ks = jax.random.split(key, 3)
+        q = jax.random.normal(ks[0], (b, t, h * d))
+        k = jax.random.normal(ks[1], (b, t, h * d))
+        v = jax.random.normal(ks[2], (b, t, h * d))
+        m = init_causal_mixing_matrix(t // c)
+        cos, sin = rotary_cos_sin(t, d)
+
+        def ref(q, k, v):
+            qf = fused_fmap_rope_flat(q, cos, sin, h, "relu")
+            kf = fused_fmap_rope_flat(k, cos, sin, h, "relu")
+            return mhla_chunk_fused_flat(qf, kf, v, m, num_heads=h,
+                                         chunk_size=c)[0]
+
+        with mesh:
+            o_tp, _ = mhla_attention_tp_flat(
+                q, k, v, m, cos, sin, h, mesh, feature_map="relu",
+                chunk_size=c,
+            )
+            o_tp.block_until_ready()
+        assert_close("tp interior", ref(q, k, v), o_tp, 1e-5)
+
+    def test_trainer_level_tp_matches_single(self, tmp_path):
+        """lm_train --train.n_tensor=2: same data/seed as n_tensor=1 gives
+        the same loss (VERDICT r3 item 5 'trainer-level TP step')."""
+        from mhla_tpu.train.lm_train import main
+
+        base = [
+            "--bf16=false",
+            "--model.hidden_size=128",
+            "--model.num_hidden_layers=2",
+            "--model.num_heads=4",
+            "--model.vocab_size=128",
+            "--model.max_position_embeddings=64",
+            "--model.chunk_size=16",
+            "--train.max_steps=3",
+            "--train.batch_size=4",
+            "--train.seq_len=64",
+            "--train.log_interval=1",
+            "--train.save_interval=100",
+            "--optimizer.warmup_steps=1",
+            "--optimizer.total_steps=3",
+        ]
+        out1 = main([f"--work_dir={tmp_path}/tp1", "--train.n_tensor=1", *base])
+        out2 = main([f"--work_dir={tmp_path}/tp2", "--train.n_tensor=2", *base])
+        assert abs(out1["final_loss"] - out2["final_loss"]) < 1e-5, (
+            out1["final_loss"], out2["final_loss"],
+        )
+
     def test_tp_lm_loss_matches_unsharded(self):
         """pjit with tensor+fsdp param specs computes the same loss as the
         unsharded model (XLA inserts the row-parallel psums)."""
