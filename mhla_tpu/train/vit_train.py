@@ -52,6 +52,11 @@ class ViTTrainLoop:
     mixup_prob: float = 1.0
     seed: int = 0
     resume_from: Optional[str] = "latest"
+    # in-training validation (reference: a held-out pass each epoch, params
+    # AND EMA params — timm_train.py:1261): every eval_interval steps run
+    # eval_batches held-out batches and log top-1 for both weight sets.
+    eval_interval: int = 0  # 0 = off
+    eval_batches: int = 8
 
 
 @dataclasses.dataclass
@@ -63,6 +68,7 @@ class ViTTrainConfig:
     exp_sigma: float = 1.0  # reference train_mhla.sh setting
     num_classes: int = 1000
     data_dir: Optional[str] = None  # image-folder root; None -> synthetic
+    val_dir: Optional[str] = None  # held-out image folder; None -> synthetic
     optimizer: OptimizerConfig = dataclasses.field(
         default_factory=lambda: OptimizerConfig(
             learning_rate=1e-3, weight_decay=0.05, grad_clip=5.0,
@@ -136,6 +142,35 @@ def image_batches(cfg: ViTTrainConfig, rng: np.random.Generator):
             yield x, y
 
 
+def val_batches(cfg: ViTTrainConfig, n: int):
+    """Deterministic held-out batches: ``val_dir`` (eval transforms: resize +
+    center crop, no augmentation) or a FIXED synthetic set (seed offset so it
+    never overlaps the synthetic train stream)."""
+    if cfg.val_dir and Path(cfg.val_dir).exists():
+        from ..data.image_data import ImageAugConfig, ImageFolderDataset
+
+        ds = ImageFolderDataset(
+            cfg.val_dir,
+            ImageAugConfig(img_size=cfg.img_size, train=False),
+            seed=0,
+        )
+        it = ds.infinite(cfg.train.batch_size)
+        return [next(it) for _ in range(n)]
+    rng = np.random.default_rng(cfg.train.seed + 10_000)
+    return [
+        (
+            rng.standard_normal(
+                (cfg.train.batch_size, cfg.img_size, cfg.img_size, 3),
+                np.float32,
+            ),
+            rng.integers(0, cfg.num_classes, cfg.train.batch_size).astype(
+                np.int32
+            ),
+        )
+        for _ in range(n)
+    ]
+
+
 def main(argv=None) -> dict:
     cfg = parse_cli(ViTTrainConfig, argv if argv is not None else sys.argv[1:])
     logger = get_root_logger(f"{cfg.work_dir}/train.log")
@@ -174,6 +209,30 @@ def main(argv=None) -> dict:
         acc = (jnp.argmax(logits, -1) == y).mean()
         return loss, {"acc": acc}
 
+    @jax.jit
+    def eval_correct(p, x, y):
+        logits = model.apply(
+            p, x.astype(jnp.bfloat16 if cfg.bf16 else jnp.float32),
+            deterministic=True,
+        )
+        return (jnp.argmax(logits, -1) == y).sum()
+
+    def run_validation(state) -> dict:
+        """Held-out top-1 with the live params and the EMA params (the
+        reference validates both each epoch and checkpoints on EMA top-1)."""
+        batches = val_batches(cfg, cfg.train.eval_batches)
+        totals = {"val_acc": 0.0, "val_acc_ema": 0.0}
+        n = 0
+        for x, y in batches:
+            x, y = jnp.asarray(x), jnp.asarray(y)
+            totals["val_acc"] += float(eval_correct(state.params, x, y))
+            if state.ema_params is not None:
+                totals["val_acc_ema"] += float(
+                    eval_correct(state.ema_params, x, y)
+                )
+            n += y.shape[0]
+        return {k: v / max(n, 1) for k, v in totals.items()}
+
     with mesh:
         state = init_train_state_sharded(params, tx, mesh, ema=True)
         step_fn = make_train_step(loss_fn, tx, ema_decay=cfg.train.ema_decay)
@@ -203,10 +262,22 @@ def main(argv=None) -> dict:
                     f"step {i+1}/{cfg.train.max_steps} loss {avg['loss']:.4f} "
                     f"acc {avg['acc']:.3f} {speed['items_per_sec']:.1f} img/s"
                 )
+            if (
+                cfg.train.eval_interval
+                and (i + 1) % cfg.train.eval_interval == 0
+            ):
+                val = run_validation(state)
+                logger.info(
+                    f"step {i+1} val_acc {val['val_acc']:.4f} "
+                    f"val_acc_ema {val['val_acc_ema']:.4f}"
+                )
             if (i + 1) % cfg.train.save_interval == 0:
                 save_checkpoint(cfg.work_dir, i + 1, state)
         save_checkpoint(cfg.work_dir, cfg.train.max_steps, state)
-    return {"final_loss": last, "params": n_params}
+        final_val = (
+            run_validation(state) if cfg.train.eval_interval else {}
+        )
+    return {"final_loss": last, "params": n_params, **final_val}
 
 
 if __name__ == "__main__":

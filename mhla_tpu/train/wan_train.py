@@ -62,6 +62,13 @@ class WanTrainLoop:
     nan_patience: int = 20
     seed: int = 0
     resume_from: Optional[str] = "latest"
+    # deterministic validation sampling every N steps (reference
+    # ``train_wan.py:119-385`` log_validation_video, invoked :846-884):
+    # FlowEuler from a FIXED noise/context, latents written to
+    # work_dir/validation/step_XXXX.npy (mp4 export needs the VAE decoder —
+    # eval/video_infer_cli.py covers that path)
+    eval_sampling_steps: int = 0  # 0 = off
+    eval_solver_steps: int = 8
 
 
 @dataclasses.dataclass
@@ -337,6 +344,41 @@ def main(argv=None) -> dict:
             metrics.update(distill_logit=d_logit, distill_attn=d_attn)
         return loss, metrics
 
+    def validation_sample(state, frozen, step: int) -> str:
+        """Deterministic FlowEuler rollout from a FIXED seed/context
+        (reference log_validation_video semantics: same prompt + generator
+        seed every call so checkpoints are visually comparable); latents to
+        work_dir/validation/."""
+        from pathlib import Path
+
+        from ..diffusion import flow_euler_sample_loop
+
+        p = state.ema_params if state.ema_params is not None else state.params
+        if frozen["lora_base"] is not None:
+            from .lora import merge_lora
+
+            p = merge_lora(frozen["lora_base"], p, cfg.lora.alpha)
+        val_rng = jax.random.PRNGKey(cfg.train.seed + 777)
+        ctx = (
+            jax.random.normal(
+                jax.random.fold_in(val_rng, 1),
+                (1, d.text_len, d.text_dim), jnp.float32,
+            )
+            * 0.02
+        )
+        shape = (1, d.latent_frames, d.latent_height, d.latent_width, d.latent_dim)
+        vmodel = lambda x, t: model.apply(  # noqa: E731
+            p, x.astype(mc.dtype), t * 1000.0, ctx.astype(mc.dtype)
+        )
+        lat = flow_euler_sample_loop(
+            vmodel, shape, val_rng, num_steps=cfg.train.eval_solver_steps
+        )
+        out_dir = Path(cfg.work_dir) / "validation"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        path = out_dir / f"step_{step:06d}.npy"
+        np.save(path, np.asarray(lat, np.float32))
+        return str(path)
+
     with mesh:
         state = init_train_state_sharded(
             params, tx, mesh, ema=cfg.train.ema_decay is not None
@@ -383,6 +425,12 @@ def main(argv=None) -> dict:
                     f"step {i+1}/{cfg.train.max_steps} loss {avg['loss']:.4f} "
                     f"gnorm {avg['grad_norm']:.3f} {speed['items_per_sec']:.2f} vid/s"
                 )
+            if (
+                cfg.train.eval_sampling_steps
+                and (i + 1) % cfg.train.eval_sampling_steps == 0
+            ):
+                path = validation_sample(state, frozen, i + 1)
+                logger.info(f"step {i+1} validation sample -> {path}")
             if (i + 1) % cfg.train.save_interval == 0:
                 save_checkpoint(cfg.work_dir, i + 1, state)
             if (
