@@ -53,7 +53,9 @@ def main():
     num = jnp.linalg.norm((o_pal - o_ref).astype(jnp.float32))
     den = jnp.linalg.norm(o_ref.astype(jnp.float32)) + 1e-12
     max_rel_err = float(num / den)
-    assert max_rel_err < 2e-2, f"Pallas/XLA mismatch: rel_rms={max_rel_err}"
+    # measured 3.3e-3 at bf16; 1e-2 leaves 3x headroom while still tripping
+    # on any real numeric regression (VERDICT r3 item 8)
+    assert max_rel_err < 1e-2, f"Pallas/XLA mismatch: rel_rms={max_rel_err}"
 
     def measure(f, x, extra, n1=5, n2=None):
         n2 = n2 or args.iters
@@ -93,19 +95,33 @@ def main():
             ).reshape(b, t, h * d)
         )
     )
+    # m rides as an ARGUMENT like k/v (CLAUDE.md: never close jitted
+    # functions over arrays — closed-over constants change codegen)
     f_mhla = jax.jit(
-        lambda x, kk, vv: jax.nn.relu(
-            mhla_chunk_fused_flat(x, kk, vv, m, num_heads=h)[0]
+        lambda x, kk, vv, mm: jax.nn.relu(
+            mhla_chunk_fused_flat(x, kk, vv, mm, num_heads=h)[0]
         )
     )
 
+    # training path: fwd+bwd through the hand-scheduled supertile backward,
+    # so regressions on the training step are driver-visible too
+    def loss_fn(x, kk, vv, mm):
+        o, _ = mhla_chunk_fused_flat(x, kk, vv, mm, num_heads=h)
+        return jnp.sum(o.astype(jnp.float32) ** 2) * 1e-6
+
+    f_mhla_bwd = jax.jit(
+        lambda x, kk, vv, mm: jax.nn.relu(jax.grad(loss_fn)(x, kk, vv, mm))
+    )
+
     t_flash = measure(f_flash, qf, (kf, vf))
-    t_mhla = measure(f_mhla, qf, (kf, vf))
+    t_mhla = measure(f_mhla, qf, (kf, vf, m))
+    t_mhla_bwd = measure(f_mhla_bwd, qf, (kf, vf, m))
 
     speedup = t_flash / t_mhla
     print(
         f"[bench] seq={t} flash={t_flash*1e3:.2f}ms mhla={t_mhla*1e3:.2f}ms "
-        f"tok/s={b*t/t_mhla:,.0f} rel_rms_vs_xla={max_rel_err:.2e}",
+        f"mhla_fwdbwd={t_mhla_bwd*1e3:.2f}ms tok/s={b*t/t_mhla:,.0f} "
+        f"rel_rms_vs_xla={max_rel_err:.2e}",
         file=sys.stderr,
     )
     print(
@@ -116,6 +132,9 @@ def main():
                 "unit": "x",
                 "vs_baseline": round(speedup / 2.0, 3),
                 "max_rel_err": round(max_rel_err, 6),
+                "fwd_ms": round(t_mhla * 1e3, 3),
+                "fwdbwd_ms": round(t_mhla_bwd * 1e3, 3),
+                "flash_ms": round(t_flash * 1e3, 3),
             }
         )
     )

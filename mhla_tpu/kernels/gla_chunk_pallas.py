@@ -23,22 +23,39 @@ applied as e^{g} / e^{-g} relative to the WITHIN-chunK cumulative sum, so
 exponents are bounded by one chunk's worth of log-decay.
 
 Reference: ``mhla_nlp/fla/ops/gla/chunk.py:1014-1160``.
+
+PRODUCTION DEFAULT IS THE JNP OP. Measured on v5e at 32k/8h/128d bf16
+(``benchmarks/gla_bench.py``, BENCH r4 ``benchmarks/RESULTS.jsonl``): fused
+7.70 ms vs jnp 4.07 ms forward (0.53x), 10.58 vs 7.55 ms fwd+bwd — XLA
+compiles GLA's 5D einsums better than this kernel assembly. The bottleneck
+is phase C's virtual-value reads: GLA needs each chunk's PREFIX state (a
+[G, H*Dk, Dv] stream per supertile where MHLA reads one mixed state), so
+the supertile readout becomes HBM-bound on re-streamed states while XLA's
+einsum form keeps the decay chain fused into the output GEMM. The Pallas
+assembly stays available for interpret-mode correctness tests and via
+``MHLA_TPU_GLA_FUSED=1`` for kernel iteration until it beats jnp.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from .mhla_chunk_pallas import (
+    _interpret,
     _phase_a,
     _phase_c_st,
     _pick_supertile,
     _use_pallas,
 )
+
+
+def _fused_enabled() -> bool:
+    return os.environ.get("MHLA_TPU_GLA_FUSED", "0") == "1" or _interpret()
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_size", "output_final_state"))
@@ -59,7 +76,9 @@ def gla_chunk_fused(
     dv = v.shape[-1]
     c = chunk_size
     gsz_probe = _pick_supertile(0, c, h, dk, dv, 2)
-    if not (_use_pallas(c, dk, dv) and gsz_probe * c >= 128):
+    if not (
+        _use_pallas(c, dk, dv) and gsz_probe * c >= 128 and _fused_enabled()
+    ):
         return gla_chunk(
             q, k, v, gk, initial_state=initial_state, chunk_size=chunk_size,
             output_final_state=output_final_state,
