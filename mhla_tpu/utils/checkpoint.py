@@ -51,17 +51,28 @@ def _prune(root: Path, keep: int) -> None:
         shutil.rmtree(p, ignore_errors=True)
 
 
+def _is_complete(path: Path) -> bool:
+    """A checkpoint is complete once orbax committed the `state` dir; a
+    killed save leaves only `state.orbax-checkpoint-tmp*` behind, and
+    resuming from that hangs or crashes the restore."""
+    return (path / "state").exists()
+
+
 def resolve_resume_path(work_dir: str, resume_from: str = "latest") -> Optional[str]:
-    """Find the checkpoint to resume from ('latest' follows the symlink)."""
+    """Find the checkpoint to resume from ('latest' follows the symlink).
+    Incomplete checkpoints (interrupted saves) are skipped — resume falls
+    back to the newest COMPLETE step, or a fresh start."""
     root = Path(work_dir) / "checkpoints"
     if resume_from == "latest":
         link = root / "latest"
-        if link.exists():
+        if link.exists() and _is_complete(link.resolve()):
             return str(link.resolve())
-        ckpts = sorted(p for p in root.glob("step_*") if p.is_dir())
+        ckpts = sorted(
+            p for p in root.glob("step_*") if p.is_dir() and _is_complete(p)
+        )
         return str(ckpts[-1]) if ckpts else None
     p = Path(resume_from)
-    return str(p) if p.exists() else None
+    return str(p) if p.exists() and _is_complete(p) else None
 
 
 def load_checkpoint(path: str, target: Any) -> Any:

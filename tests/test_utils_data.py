@@ -110,6 +110,24 @@ class TestCheckpoint:
         assert "step_00000004" in ckpts and "step_00000005" in ckpts
         assert "step_00000001" not in ckpts
 
+    def test_resume_skips_incomplete_checkpoint(self, tmp_path):
+        """A save killed mid-write leaves only state.orbax-checkpoint-tmp;
+        resume must fall back to the newest COMPLETE step (hung/crashed
+        the restore before — found verifying the LM CLI on TPU)."""
+        state = {"w": jnp.arange(4.0)}
+        save_checkpoint(str(tmp_path), 5, state)
+        # fake an interrupted later save: dir + symlink, no committed state
+        root = tmp_path / "checkpoints"
+        broken = root / "step_00000009"
+        (broken / "state.orbax-checkpoint-tmp").mkdir(parents=True)
+        link = root / "latest"
+        link.unlink()
+        link.symlink_to(broken.name)
+        path = resolve_resume_path(str(tmp_path), "latest")
+        assert path is not None and checkpoint_step(path) == 5
+        # explicit path to the broken dir is refused too
+        assert resolve_resume_path(str(tmp_path), str(broken)) is None
+
 
 class TestMonitors:
     def test_finite_check(self):
