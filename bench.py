@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -33,6 +34,12 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # the axon TPU plugin overrides JAX_PLATFORMS at init, so an env-var
+    # "cpu" smoke run would silently land on the REAL chip (and collide
+    # with any concurrent bench) — re-assert the request via jax.config
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from mhla_tpu.kernels import flash_attention, mhla_chunk_fused
@@ -71,10 +78,13 @@ def main():
             return time.perf_counter() - t0
 
         run(2)  # settle post-compile relay outliers
-        # best-of-3 of the two-length difference (CLAUDE.md methodology):
-        # the relay adds multi-ms outliers that only bias upward, so the
-        # minimum is the estimate closest to true device time
-        return min((run(n2) - run(n1)) / (n2 - n1) for _ in range(3))
+        # best-of-7 of the two-length difference (CLAUDE.md methodology):
+        # the relay adds outliers that only bias upward, so the minimum is
+        # the estimate closest to true device time. Session-to-session the
+        # SAME kernel still spans ~±0.3 ms at 32k (measured 1.07-1.64 ms
+        # across four relay sessions) — compare numbers only within one
+        # committed run (benchmarks/RESULTS.jsonl).
+        return min((run(n2) - run(n1)) / (n2 - n1) for _ in range(7))
 
     # chained: output re-enters as q (relu keeps it a valid positive
     # feature). Both ops are fed the projection-natural head-flat

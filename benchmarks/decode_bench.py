@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from functools import partial
@@ -27,6 +28,12 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # the axon TPU plugin overrides JAX_PLATFORMS at init, so an env-var
+    # "cpu" smoke run would silently land on the REAL chip (and collide
+    # with any concurrent bench) — re-assert the request via jax.config
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from mhla_tpu.models import MHLAForCausalLM, MHLALMConfig

@@ -30,6 +30,7 @@ run decode_b1           timeout 1200 python benchmarks/decode_bench.py --batch 1
 run decode_b8           timeout 1200 python benchmarks/decode_bench.py --batch 8
 run train_ctx2048       timeout 1200 python benchmarks/train_bench.py --batch 4 --seq 2048
 run train_ctx32k        timeout 1800 python benchmarks/train_bench.py --batch 1 --seq 32768
+run train_mamba2        timeout 1800 python benchmarks/train_bench.py --batch 4 --seq 2048 --attn mamba2
 run wan_fp32            timeout 3000 python benchmarks/wan_bench.py --modes hybrid,softmax,mhla
 run wan_bf16            timeout 3000 python benchmarks/wan_bench.py --modes hybrid,softmax,mhla --bf16_attn
 run wan_layer_fp32      timeout 1800 python benchmarks/wan_bench.py --layer

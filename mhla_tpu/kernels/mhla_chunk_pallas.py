@@ -42,7 +42,10 @@ HBM-traffic design (the op is bandwidth-bound at ~256 FLOP/byte ceiling):
   roofline for 256-byte DMA), B+C fusion re-reads the full states prefix
   per supertile (O(N^2) traffic), and the learned mixing matrix is DENSE
   triangular — no decay/product structure to turn phase B into a scan —
-  so the three-kernel split IS the bandwidth-optimal schedule.
+  so the three-kernel split IS the bandwidth-optimal schedule. Measured
+  forwards sit AT this floor: 1.07-1.64 ms across relay sessions (the
+  ~±0.3 ms spread is the relay's, not the kernel's — see bench.py), so
+  any in-tree claim below ~1.1 ms is measurement noise, not headroom.
 - The backward is a second Pallas kernel over the same supertile grid,
   recomputing the masked scores in VMEM (flash-style recompute; the
   reference's Triton GLA kernels make the same choice,
