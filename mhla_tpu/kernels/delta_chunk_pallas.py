@@ -1,33 +1,52 @@
-"""Fused Pallas forward for the chunked (WY-form) gated delta rule.
+"""Fused Pallas kernels for the chunked (WY-form) gated delta rule.
 
 The reference's training path is a fused Triton kernel family
 (``mhla_nlp/fla/ops/gated_delta_rule/{wy_fast,chunk}.py``) that keeps the
-recurrent state in SRAM across a sequential chunk loop. The TPU analogue:
-ONE ``pallas_call`` whose grid walks (batch, chunk) in order — TPU grids
-execute sequentially on a core, so the [H*Dk, Dv] fp32 state lives in VMEM
-scratch across chunk steps, and per chunk everything (the WY solve, the
-delta-corrected values, the output, the state update) happens in VMEM:
+recurrent state in SRAM across a sequential chunk loop. The TPU analogue
+here follows the same sequential-supertile shape that won for GLA
+(``gla_chunk_pallas.py``): ONE ``pallas_call`` whose grid walks
+(batch, supertile) in order — TPU grids execute sequentially on a core —
+with the [H*Dk, Dv] fp32 state in VMEM scratch across grid steps and G
+chunks processed per step. Per chunk (all in VMEM):
 
-    A     = beta * (K K^T) * exp(G_i - G_j)   masked strictly-lower
-    T     = (I + A)^-1                        (Neumann: A nilpotent)
+    A     = beta_i * (K K^T) * exp(G_i - G_j)   masked strictly-lower
+    T     = (I + A)^-1                          (Neumann: A nilpotent)
     u     = T (beta * V);  w = T (beta * e^G * K)
     v_eff = u - w @ S
     o     = (Q e^G) @ S * scale + ((Q K^T) * e^{G_i - G_j} masked) v_eff
     S     = e^{g_last} S + (K e^{g_last - G})^T v_eff
 
-vs the jnp op (``ops.gated_delta_chunk``), which materializes the [N, C, C]
-decay/attention tensors in HBM and runs the recurrence as a ``lax.scan``
-of XLA matmuls. The fused kernel reads q/k/v once and writes o once — no
-intermediate HBM traffic at all.
+Design notes (the first, one-chunk-per-step fp32 version measured only
+1.44x the jnp op at 32k — these are what moved it):
 
-The backward is a second sequential-grid kernel walking the chunks in
-REVERSE (reversed BlockSpec index maps over the same (batch, chunk) grid),
-carrying the [H*Dk, Dv] fp32 state-cotangent in VMEM scratch. Per chunk it
-recomputes the WY solve from the saved chunk-entry states (written by the
-forward when grads are needed) and emits dq/dk/dv/dG/dbeta in VMEM — the
-same flash-style recompute stance as ``mhla_chunk_pallas``'s backward. The
-within-chunk cumsum (g -> G) and the q/k L2-norm are differentiated outside
-the kernel (cheap elementwise XLA).
+  - every MXU dot takes bf16 (``cdt``) inputs with fp32 accumulation when
+    the op runs in bf16 — the fp32-input version pays the ~6x multi-pass
+    fp32 MXU rate on EVERY dot, which was the dominant cost;
+  - G chunks per grid step: the WY solve / kk / qk / u / w of the G chunks
+    (and of all heads) are INDEPENDENT dots the compiler can pipeline
+    around the two chained GEMMs per chunk (v_eff = u - w S and the state
+    update) that the delta rule's math genuinely serializes — with one
+    chunk per step there is nothing to overlap them with;
+  - the pairwise decay exp(G_i - G_j) CANNOT be factored into per-token
+    streams (e^{-G} overflows at delta-rule decay magnitudes — see
+    ``ops/delta_rule.py``), so the masked [C, C] decay matrices are
+    precomputed by XLA and streamed ([B, NS, S, H*C] bf16, ~34 MB at 32k
+    = cheaper than 16.8M in-kernel transcendentals plus the 1-wide
+    [C, 1] gate slices the old kernel took them from);
+  - every intermediate is a VALUE; only the state carry touches scratch
+    (Mosaic orders ref accesses, so scratch round-trips serialize the
+    step — the same lesson as the GLA/MHLA supertile kernels);
+  - backward residuals are the supertile-entry states only (G-times fewer
+    than per-chunk saves, stored in the compute dtype), re-expanded to
+    per-chunk entry states by an in-kernel forward replay.
+
+The backward is a second sequential-grid kernel walking supertiles in
+REVERSE (reversed BlockSpec index maps), carrying the state cotangent in
+VMEM scratch. Per supertile it recomputes the per-chunk WY quantities
+(independent dots), replays the forward state chain, runs the mirrored
+reverse cotangent chain, and emits dq/dk/dv/dG/dbeta; the q/k L2-norm and
+the within-chunk cumsum (g -> G) are differentiated outside the kernel
+(cheap elementwise XLA).
 
 Semantics match :func:`mhla_tpu.ops.delta_rule.gated_delta_chunk` exactly
 (same oracle tests). Reference: ``fla/ops/gated_delta_rule/chunk.py``.
@@ -45,91 +64,393 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mhla_chunk_pallas import _hslice, _interpret, _use_pallas
 
-
-def _chunk_masks(c):
-    idx_r = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
-    idx_c = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    return idx_r > idx_c, idx_r >= idx_c
+_VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _wy_solve(kh, vh, gc, beta, c, strict):
-    """Recompute the per-chunk WY quantities (shared by fwd/bwd kernels).
+def _pick_gsz(c: int, h: int, dk: int, dv: int, nbytes: int) -> int:
+    """Largest G in {8,4,2,1} whose double-buffered BACKWARD working set
+    (blocks + per-chunk live values) fits the VMEM budget. One shared G
+    for fwd and bwd keeps the saved-state layout consistent."""
+    for g in (8, 4, 2, 1):
+        s = g * c
+        inb = (
+            (2 * s * h * dk + 2 * s * h * dv) * nbytes  # qn, kn, v, do
+            + 2 * s * h * c * nbytes  # decay matrices
+            + 3 * s * h * 4  # gate columns
+            + g * h * 4  # e^{g_last} scalars
+            + h * dk * dv * nbytes  # saved entry state (cdt)
+            + h * dk * dv * 4  # final-state cotangent
+        )
+        outb = (
+            (2 * s * h * dk + s * h * dv) * nbytes  # dq, dk, dv (cdt)
+            + 2 * s * h * 4  # dG, dbeta
+            + h * dk * dv * 4  # ds0
+        )
+        live = g * (2 * c * c + 3 * c * dv + 3 * c * dk + 3 * dk * dv) * 4
+        if 2 * (inb + outb) + h * dk * dv * 4 + live <= _VMEM_BUDGET or g == 1:
+            return g
+    return 1
 
-    Returns (t_inv, u, w, kk, dec_strict, eg) for one head's chunk:
-    A = beta * (K K^T) * exp(G_i - G_j) strictly-lower; t_inv = (I+A)^-1
-    via the Neumann product (A nilpotent); u = T (beta v);
-    w = T (beta e^G k).
-    """
+
+def _neumann_inv(a, c, cdt):
+    """(I + A)^-1 for strictly-lower-triangular A (nilpotent) as a Neumann
+    product of log2(C) squarings. The products MUST be true fp32: the
+    partial products are alternating sums with real cancellation, and bf16
+    inputs here amplify through the v_eff -> state feedback to ~11% output
+    error at 2k tokens (measured). Plain f32 jnp.dot is NOT enough — the
+    TPU default matmul precision truncates f32 dot inputs to one bf16 pass
+    (measured bit-identical to the bf16 kernel), so the dots carry an
+    explicit HIGHEST precision. Everything downstream of the solve is safe
+    in the compute dtype."""
     f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
     eye = jnp.eye(c, dtype=f32)
     steps = max((c - 1).bit_length() - 1, 0)
-    gd = gc - gc.reshape(1, c)
-    dec_strict = jnp.where(strict, jnp.exp(gd), 0.0)
-    kk = jax.lax.dot_general(
-        kh, kh, (((1,), (1,)), ((), ())), preferred_element_type=f32
-    )
-    a = kk * dec_strict * beta
     x = -a
     t_inv = eye + x
     for _ in range(steps):
-        x = jnp.dot(x, x, preferred_element_type=f32)
-        t_inv = jnp.dot(t_inv, eye + x, preferred_element_type=f32)
-    eg = jnp.exp(gc)
-    u = jnp.dot(t_inv, beta * vh, preferred_element_type=f32)
-    w = jnp.dot(t_inv, (beta * eg) * kh, preferred_element_type=f32)
-    return t_inv, u, w, kk, dec_strict, eg
+        x = jnp.dot(x, x, preferred_element_type=f32, precision=hi)
+        t_inv = jnp.dot(
+            t_inv, eye + x, preferred_element_type=f32, precision=hi
+        )
+    return t_inv
 
 
-def _delta_kernel(
-    nh, dk, dv, c, scale, collect,
-    q_ref, k_ref, v_ref, gc_ref, beta_ref, s0_ref,
-    o_ref, sout_ref, *rest,
+def _delta_fwd_kernel(
+    nh, dk, dv, c, gsz, scale, collect,
+    qn_ref, kn_ref, v_ref, ds_ref, di_ref, eg_ref, ec_ref, bt_ref, el_ref,
+    s0_ref, o_ref, sout_ref, *rest,
 ):
     if collect:
-        st4_ref, s_ref = rest
+        st_ref, s_ref = rest
     else:
         (s_ref,) = rest
     f32 = jnp.float32
+    cdt = qn_ref.dtype
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)  # noqa: E731
+    dot_bt = lambda a, b: jax.lax.dot_general(  # noqa: E731  (a @ b^T)
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )
+    dot_t = lambda a, b: jax.lax.dot_general(  # noqa: E731  (a^T @ b)
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
         s_ref[...] = s0_ref[0]
 
     if collect:
-        st4_ref[0, 0] = s_ref[...]  # state at chunk ENTRY (bwd residual)
+        st_ref[0, 0] = s_ref[...].astype(st_ref.dtype)  # supertile ENTRY
 
-    strict, incl = _chunk_masks(c)
+    egv = eg_ref[0, 0]  # [S, H] f32 gate columns
+    ecv = ec_ref[0, 0]
+    btv = bt_ref[0, 0]
+    elv = el_ref[0, 0]  # [G, H] f32
 
     for hi in range(nh):
-        qh = _hslice(q_ref[0, 0], hi, dk).astype(f32)
-        kh = _hslice(k_ref[0, 0], hi, dk).astype(f32)
-        vh = _hslice(v_ref[0, 0], hi, dv).astype(f32)
-        gc = gc_ref[0, 0, :, hi : hi + 1].astype(f32)  # [C, 1]
-        beta = beta_ref[0, 0, :, hi : hi + 1].astype(f32)
-        glast = gc[c - 1, 0]
+        qh = _hslice(qn_ref[0, 0], hi, dk)  # [S, Dk] cdt
+        kh = _hslice(kn_ref[0, 0], hi, dk)
+        vh = _hslice(v_ref[0, 0], hi, dv)
+        dsh = _hslice(ds_ref[0, 0], hi, c)  # [S, C] cdt (strict decay)
+        dih = _hslice(di_ref[0, 0], hi, c)  # [S, C] cdt (incl decay * scale)
 
-        t_inv, u, w, kk, dec_strict, eg = _wy_solve(kh, vh, gc, beta, c, strict)
-        gd = gc - gc.reshape(1, c)
-        dec_incl = jnp.where(incl, jnp.exp(gd), 0.0)
+        # per-chunk WY quantities — independent across chunks and heads
+        pre = []
+        for g in range(gsz):
+            sl = slice(g * c, (g + 1) * c)
+            kg, qg, vg = kh[sl], qh[sl], vh[sl]
+            beta_col = btv[sl, hi : hi + 1]  # [C, 1] f32
+            eg_col = egv[sl, hi : hi + 1]
+            ec_col = ecv[sl, hi : hi + 1]
+            kk = dot_bt(kg, kg)  # [C, C] f32
+            a = kk * dsh[sl].astype(f32) * beta_col  # strict-masked
+            t_inv = _neumann_inv(a, c, cdt).astype(cdt)
+            vb = (vg.astype(f32) * beta_col).astype(cdt)
+            u = dot(t_inv, vb)  # [C, Dv] f32
+            wsrc = (kg.astype(f32) * (eg_col * beta_col)).astype(cdt)
+            w = dot(t_inv, wsrc).astype(cdt)  # [C, Dk]
+            p = (dot_bt(qg, kg) * dih[sl].astype(f32)).astype(cdt)  # [C, C]
+            qd = (qg.astype(f32) * (eg_col * scale)).astype(cdt)
+            kc = (kg.astype(f32) * ec_col).astype(cdt)
+            pre.append((u, w, p, qd, kc))
 
-        s_h = s_ref[hi * dk : (hi + 1) * dk, :]  # [Dk, Dv] fp32
-        v_eff = u - jnp.dot(w, s_h, preferred_element_type=f32)
-
-        qk = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=f32
-        ) * dec_incl
-        o = (
-            jnp.dot(qh * eg, s_h, preferred_element_type=f32)
-            + jnp.dot(qk, v_eff, preferred_element_type=f32)
-        ) * scale
-        o_ref[0, 0, :, hi * dv : (hi + 1) * dv] = o.astype(o_ref.dtype)
-
-        kc = kh * jnp.exp(glast - gc)
-        s_new = s_h * jnp.exp(glast) + jax.lax.dot_general(
-            kc, v_eff, (((0,), (0,)), ((), ())), preferred_element_type=f32
-        )
-        s_ref[hi * dk : (hi + 1) * dk, :] = s_new
+        # the delta rule's genuinely sequential part: two chained GEMMs per
+        # chunk (heads are independent chains, so the MXU still overlaps)
+        z = s_ref[hi * dk : (hi + 1) * dk, :]  # [Dk, Dv] f32
+        for g in range(gsz):
+            u, w, p, qd, kc = pre[g]
+            sl = slice(g * c, (g + 1) * c)
+            zc = z.astype(cdt)
+            v_eff = u - dot(w, zc)  # [C, Dv] f32
+            v_eff_c = v_eff.astype(cdt)
+            o = dot(qd, zc) + dot(p, v_eff_c)
+            o_ref[0, 0, sl, hi * dv : (hi + 1) * dv] = o.astype(o_ref.dtype)
+            z = z * elv[g, hi] + dot_t(kc, v_eff_c)
+        s_ref[hi * dk : (hi + 1) * dk, :] = z
     sout_ref[0] = s_ref[...]
+
+
+def _delta_bwd_kernel(
+    nh, dk, dv, c, gsz, scale, ns,
+    qn_ref, kn_ref, v_ref, ds_ref, di_ref, eg_ref, ec_ref, bt_ref, el_ref,
+    st_ref, do_ref, dsfin_ref,
+    dq_ref, dk_ref, dv_ref, dg_ref, dbeta_ref, ds0_ref,
+    ds_scr,
+):
+    """Reverse-supertile step: all supertile-indexed refs carry REVERSED
+    index maps, so grid step si processes supertile ns-1-si and ``ds_scr``
+    (the chunk-exit state cotangent) flows backward through the sequence.
+    Per-chunk entry states are recomputed by replaying the forward chain
+    from the supertile-entry state saved by the forward."""
+    f32 = jnp.float32
+    cdt = qn_ref.dtype
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)  # noqa: E731
+    dot_bt = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )
+    dot_t = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        ds_scr[...] = dsfin_ref[0]
+
+    egv = eg_ref[0, 0]
+    ecv = ec_ref[0, 0]
+    btv = bt_ref[0, 0]
+    elv = el_ref[0, 0]
+    rowpos = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+    ones_c = jnp.ones((c, 1), f32)
+    dg_heads, dbeta_heads = [], []
+
+    for hi in range(nh):
+        qh = _hslice(qn_ref[0, 0], hi, dk)
+        kh = _hslice(kn_ref[0, 0], hi, dk)
+        vh = _hslice(v_ref[0, 0], hi, dv)
+        doh = _hslice(do_ref[0, 0], hi, dv)
+        dsh = _hslice(ds_ref[0, 0], hi, c)
+        dih = _hslice(di_ref[0, 0], hi, c)
+
+        # stage 1: independent per-chunk recompute (same as the forward)
+        pre = []
+        for g in range(gsz):
+            sl = slice(g * c, (g + 1) * c)
+            kg, qg, vg = kh[sl], qh[sl], vh[sl]
+            beta_col = btv[sl, hi : hi + 1]
+            eg_col = egv[sl, hi : hi + 1]
+            ec_col = ecv[sl, hi : hi + 1]
+            kk = dot_bt(kg, kg)
+            kkds = kk * dsh[sl].astype(f32)  # strict decayed (pre-beta)
+            a = kkds * beta_col
+            t_inv = _neumann_inv(a, c, cdt).astype(cdt)
+            vb = (vg.astype(f32) * beta_col).astype(cdt)
+            u = dot(t_inv, vb)
+            kneg = kg.astype(f32) * eg_col  # k e^G, f32
+            wsrc_f = kneg * beta_col
+            w = dot(t_inv, wsrc_f.astype(cdt))
+            p = dot_bt(qg, kg) * dih[sl].astype(f32)  # scale inside dih
+            qd_f = qg.astype(f32) * (eg_col * scale)
+            kc_f = kg.astype(f32) * ec_col
+            pre.append((kkds, a, t_inv, u, w, p, qd_f, kc_f, kneg, wsrc_f))
+
+        # stage 2: forward replay — per-chunk ENTRY states and v_eff
+        z = st_ref[0, 0, hi * dk : (hi + 1) * dk, :].astype(f32)
+        zs, veffs = [], []
+        for g in range(gsz):
+            _, _, _, u, w, _, _, kc_f, _, _ = pre[g]
+            zs.append(z)
+            v_eff = u - dot(w.astype(cdt), z.astype(cdt))
+            veffs.append(v_eff)
+            z = z * elv[g, hi] + dot_t(
+                kc_f.astype(cdt), v_eff.astype(cdt)
+            )
+
+        # stage 3+4: reverse cotangent chain; per-chunk grads ride along
+        dz = ds_scr[hi * dk : (hi + 1) * dk, :]  # chunk-EXIT cotangent
+        dg_cols = [None] * gsz
+        dbeta_cols = [None] * gsz
+        for g in reversed(range(gsz)):
+            kkds, a, t_inv, u, w, p, qd_f, kc_f, kneg, wsrc_f = pre[g]
+            sl = slice(g * c, (g + 1) * c)
+            kg, qg, vg = kh[sl], qh[sl], vh[sl]
+            do_g = doh[sl]
+            beta_col = btv[sl, hi : hi + 1]
+            eg_col = egv[sl, hi : hi + 1]
+            ec_col = ecv[sl, hi : hi + 1]
+            s_in, v_eff = zs[g], veffs[g]
+            s_in_c = s_in.astype(cdt)
+            v_eff_c = v_eff.astype(cdt)
+            dz_c = dz.astype(cdt)
+            qd_c = qd_f.astype(cdt)
+
+            # chain: dv_eff needs THIS chunk's exit cotangent dz
+            dv_eff = dot_t(p.astype(cdt), do_g) + dot(kc_f.astype(cdt), dz_c)
+            dv_eff_c = dv_eff.astype(cdt)
+            # entry-state cotangent -> previous chunk
+            dz_prev = (
+                dz * elv[g, hi]
+                + dot_t(qd_c, do_g)
+                - dot_t(w.astype(cdt), dv_eff_c)
+            )
+
+            # S' = e^gl S + kc^T v_eff
+            dkc = dot_bt(v_eff_c, dz_c)  # [C, Dk]
+            dgl = elv[g, hi] * jnp.sum(s_in * dz)
+            # o = qd S + P v_eff
+            dqd = dot_bt(do_g, s_in_c)  # [C, Dk]
+            dp = dot_bt(do_g, v_eff_c)  # [C, C]
+            # u = T vb, w = T wsrc: dx = T^T dy; dA = -(T^T dy) y^T
+            du_c = dv_eff_c
+            dw = -dot_bt(dv_eff_c, s_in_c)  # [C, Dk]
+            dmu = dot_t(t_inv, du_c)  # [C, Dv]
+            dmw = dot_t(t_inv, dw.astype(cdt))  # [C, Dk]
+            da = -(
+                dot_bt(dmu.astype(cdt), u.astype(cdt))
+                + dot_bt(dmw.astype(cdt), w.astype(cdt))
+            )  # [C, C]; upper triangle auto-masked by every consumer below
+
+            # A = beta ⊙ kkds
+            dkk = (da * dsh[sl].astype(f32) * beta_col).astype(cdt)
+            dk_g = dot(dkk, kg) + dot_t(dkk, kg)
+            dbeta_g = jnp.sum(da * kkds, 1, keepdims=True)
+            # u, w source terms
+            dv_g = dmu * beta_col
+            dbeta_g = dbeta_g + jnp.sum(dmu * vg.astype(f32), 1, keepdims=True)
+            dk_g = dk_g + dmw * (eg_col * beta_col)
+            dbeta_g = dbeta_g + jnp.sum(dmw * kneg, 1, keepdims=True)
+            dg_g = jnp.sum(dmw * wsrc_f, 1, keepdims=True)
+            # intra attention scores (scale+decay inside dih)
+            dqk = (dp * dih[sl].astype(f32)).astype(cdt)
+            dq_g = dqd * (eg_col * scale) + dot(dqk, kg)
+            dk_g = dk_g + dot_t(dqk, qg)
+            # kc = k e^{gl - G}
+            dk_g = dk_g + dkc * ec_col
+            dg_g = dg_g - jnp.sum(dkc * kc_f, 1, keepdims=True)
+            dgl = dgl + jnp.sum(dkc * kc_f)
+            # qd = q e^G scale
+            dg_g = dg_g + jnp.sum(dqd * qd_f, 1, keepdims=True)
+            # pairwise exp(G_i - G_j): +row sums, -col sums (MXU transpose)
+            m = da * a + dp * p
+            dg_g = dg_g + jnp.sum(m, 1, keepdims=True) - dot_t(m, ones_c)
+            dg_g = dg_g + jnp.where(rowpos == c - 1, dgl, 0.0)
+
+            dq_ref[0, 0, sl, hi * dk : (hi + 1) * dk] = dq_g.astype(
+                dq_ref.dtype
+            )
+            dk_ref[0, 0, sl, hi * dk : (hi + 1) * dk] = dk_g.astype(
+                dk_ref.dtype
+            )
+            dv_ref[0, 0, sl, hi * dv : (hi + 1) * dv] = dv_g.astype(
+                dv_ref.dtype
+            )
+            dg_cols[g] = dg_g
+            dbeta_cols[g] = dbeta_g
+            dz = dz_prev
+        ds_scr[hi * dk : (hi + 1) * dk, :] = dz
+        dg_heads.append(jnp.concatenate(dg_cols, axis=0))  # [S, 1]
+        dbeta_heads.append(jnp.concatenate(dbeta_cols, axis=0))
+
+    dg_ref[0, 0] = jnp.concatenate(dg_heads, axis=1)  # [S, H]
+    dbeta_ref[0, 0] = jnp.concatenate(dbeta_heads, axis=1)
+
+    @pl.when(pl.program_id(1) == ns - 1)
+    def _final():
+        ds0_ref[0] = ds_scr[...]
+
+
+def _prep(qn, kn, v, g, beta, chunk_size):
+    """Shared fwd/bwd preprocessing: pad to chunks, pad chunks to
+    supertiles, head-flat supertile views, decay-matrix and gate-column
+    streams. qn/kn are the (already L2-normed) fp32 q/k."""
+    from ..ops.mhla_chunk import _pad_to_chunks
+
+    b, t, h, dk = qn.shape
+    dv = v.shape[-1]
+    c = chunk_size
+    f32 = jnp.float32
+    in_dtype = v.dtype
+    cdt = jnp.bfloat16 if in_dtype == jnp.bfloat16 else f32
+    scale = dk**-0.5
+
+    qp = _pad_to_chunks(qn, c)
+    kp = _pad_to_chunks(kn, c)
+    vp = _pad_to_chunks(v.astype(f32), c)
+    gp = _pad_to_chunks(g.astype(f32), c)
+    bp = _pad_to_chunks(beta.astype(f32), c)
+    n_real = qp.shape[1] // c
+
+    gsz = _pick_gsz(c, h, dk, dv, 2 if cdt == jnp.bfloat16 else 4)
+    n = ((n_real + gsz - 1) // gsz) * gsz
+    pad_n = n - n_real
+
+    def to_chunks(x, d):
+        x = x.reshape(b, n_real, c, h * d)
+        if pad_n:
+            x = jnp.pad(x, ((0, 0), (0, pad_n), (0, 0), (0, 0)))
+        return x
+
+    q4 = to_chunks(qp, dk).astype(cdt)
+    k4 = to_chunks(kp, dk).astype(cdt)
+    v4 = to_chunks(vp, dv).astype(cdt)
+    g4 = gp.reshape(b, n_real, c, h)
+    b4 = bp.reshape(b, n_real, c, h)
+    if pad_n:
+        g4 = jnp.pad(g4, ((0, 0), (0, pad_n), (0, 0), (0, 0)))
+        b4 = jnp.pad(b4, ((0, 0), (0, pad_n), (0, 0), (0, 0)))
+
+    gcum = jnp.cumsum(g4, axis=2)  # inclusive within-chunk cumsum, f32
+    gl = gcum[:, :, -1]  # [B, N, H]
+
+    # pairwise decay matrices (exp(G_i - G_j), masked) — cannot be factored
+    # into per-token streams: e^{-G} overflows at delta decay magnitudes
+    gd = gcum[:, :, :, :, None] - gcum.transpose(0, 1, 3, 2)[:, :, None]
+    ii = jnp.arange(c)[:, None, None]
+    jj = jnp.arange(c)[None, None, :]
+    ninf = jnp.float32(-jnp.inf)
+    ds5 = jnp.exp(jnp.where(ii > jj, gd, ninf)).astype(cdt)
+    di5 = (jnp.exp(jnp.where(ii >= jj, gd, ninf)) * scale).astype(cdt)
+    ds4 = ds5.reshape(b, n, c, h * c)
+    di4 = di5.reshape(b, n, c, h * c)
+
+    eg4 = jnp.exp(gcum)  # [B, N, C, H] f32
+    ec4 = jnp.exp(gl[:, :, None, :] - gcum)
+    el4 = jnp.exp(gl)  # [B, N, H]
+
+    ns = n // gsz
+    s_len = gsz * c
+    sh = lambda d: (b, ns, s_len, h * d)  # noqa: E731
+    streams = (
+        q4.reshape(sh(dk)),
+        k4.reshape(sh(dk)),
+        v4.reshape(sh(dv)),
+        ds4.reshape(b, ns, s_len, h * c),
+        di4.reshape(b, ns, s_len, h * c),
+        eg4.reshape(b, ns, s_len, h),
+        ec4.reshape(b, ns, s_len, h),
+        b4.reshape(b, ns, s_len, h),
+        el4.reshape(b, ns, gsz, h),
+    )
+    geom = (b, t, h, dk, dv, c, gsz, n, ns, in_dtype, cdt)
+    return streams, geom
+
+
+def _specs(geom):
+    b, t, h, dk, dv, c, gsz, n, ns, in_dtype, cdt = geom
+    s_len = gsz * c
+    fwd = lambda bi, ni: (bi, ni, 0, 0)  # noqa: E731
+    rev = lambda bi, ni: (bi, ns - 1 - ni, 0, 0)  # noqa: E731
+
+    def tok(d, idx):
+        return pl.BlockSpec((1, 1, s_len, h * d), idx)
+
+    def col(idx):
+        return pl.BlockSpec((1, 1, s_len, h), idx)
+
+    el = lambda idx: pl.BlockSpec((1, 1, gsz, h), idx)  # noqa: E731
+    state = pl.BlockSpec((1, h * dk, dv), lambda bi, ni: (bi, 0, 0))
+    st4 = lambda idx: pl.BlockSpec((1, 1, h * dk, dv), idx)  # noqa: E731
+    return fwd, rev, tok, col, el, state, st4
 
 
 def _delta_fused_fwd_impl(
@@ -137,194 +458,61 @@ def _delta_fused_fwd_impl(
 ):
     """Padded/shaped Pallas dispatch. q/k/v: [B, T, H, D]; g/beta [B, T, H];
     s0 [B, H, Dk, Dv] fp32. Returns (o [B, T, H, Dv], s_final) plus, with
-    ``collect_states``, the chunk-entry states [B, N, H*Dk, Dv] fp32 (the
-    backward kernel's residual)."""
+    ``collect_states``, the supertile-entry states [B, NS, H*Dk, Dv] in the
+    compute dtype (the backward kernel's residual)."""
     from ..ops.delta_rule import l2norm
-    from ..ops.mhla_chunk import _pad_to_chunks
 
-    in_dtype = q.dtype
-    b, t, h, dk = q.shape
-    dv = v.shape[-1]
-    c = chunk_size
     f32 = jnp.float32
     if use_qk_l2norm:
-        # l2norm outputs fp32; feed the kernel fp32 q/k (no rounding to the
-        # input dtype — the jnp op keeps the normed streams fp32 too, and
-        # the extra DMA is negligible against the per-chunk MXU work)
-        q, k = l2norm(q.astype(f32)), l2norm(k.astype(f32))
-    q = _pad_to_chunks(q, c)
-    k = _pad_to_chunks(k, c)
-    v = _pad_to_chunks(v, c)
-    g = _pad_to_chunks(g.astype(f32), c)
-    beta = _pad_to_chunks(beta.astype(f32), c)
-    n = q.shape[1] // c
-
-    # head-flat chunk layout [B, N, C, H*D] — contiguous full-row DMAs
-    q4 = q.reshape(b, n, c, h * dk)
-    k4 = k.reshape(b, n, c, h * dk)
-    v4 = v.reshape(b, n, c, h * dv)
-    gc4 = jnp.cumsum(g.reshape(b, n, c, h), axis=2)  # [B, N, C, H] fp32
-    beta4 = beta.reshape(b, n, c, h)
+        qn, kn = l2norm(q.astype(f32)), l2norm(k.astype(f32))
+    else:
+        qn, kn = q.astype(f32), k.astype(f32)
+    streams, geom = _prep(qn, kn, v, g, beta, chunk_size)
+    b, t, h, dk, dv, c, gsz, n, ns, in_dtype, cdt = geom
+    s_len = gsz * c
+    fwd, rev, tok, col, el, state, st4 = _specs(geom)
     s0f = s0.astype(f32).reshape(b, h * dk, dv)
-
-    tok = lambda d: pl.BlockSpec(  # noqa: E731
-        (1, 1, c, h * d), lambda bi, ni: (bi, ni, 0, 0)
-    )
-    small = pl.BlockSpec((1, 1, c, h), lambda bi, ni: (bi, ni, 0, 0))
-    state = pl.BlockSpec((1, h * dk, dv), lambda bi, ni: (bi, 0, 0))
     scale = dk**-0.5
-    out_specs = [tok(dv), state]
+
+    in_specs = [
+        tok(dk, fwd), tok(dk, fwd), tok(dv, fwd),
+        tok(c, fwd), tok(c, fwd),
+        col(fwd), col(fwd), col(fwd), el(fwd), state,
+    ]
+    out_specs = [tok(dv, fwd), state]
     out_shape = [
-        jax.ShapeDtypeStruct((b, n, c, h * dv), in_dtype),
+        jax.ShapeDtypeStruct((b, ns, s_len, h * dv), in_dtype),
         jax.ShapeDtypeStruct((b, h * dk, dv), f32),
     ]
     if collect_states:
-        out_specs.append(
-            pl.BlockSpec((1, 1, h * dk, dv), lambda bi, ni: (bi, ni, 0, 0))
-        )
-        out_shape.append(jax.ShapeDtypeStruct((b, n, h * dk, dv), f32))
+        out_specs.append(st4(fwd))
+        out_shape.append(jax.ShapeDtypeStruct((b, ns, h * dk, dv), cdt))
+    nb = streams[0].dtype.itemsize
     outs = pl.pallas_call(
-        functools.partial(_delta_kernel, h, dk, dv, c, scale, collect_states),
-        grid=(b, n),
-        in_specs=[tok(dk), tok(dk), tok(dv), small, small, state],
+        functools.partial(
+            _delta_fwd_kernel, h, dk, dv, c, gsz, scale, collect_states
+        ),
+        grid=(b, ns),
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((h * dk, dv), f32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * n * c * (3 * c * (dk + dv) // 2 + 3 * dk * dv),
-            bytes_accessed=(q4.size + k4.size + 2 * v4.size)
-            * q4.dtype.itemsize,
-            transcendentals=b * h * n * c * c,
+            bytes_accessed=(
+                streams[0].size * 2 + streams[2].size * 2 + streams[3].size * 2
+            )
+            * nb,
+            transcendentals=0,
         ),
         interpret=_interpret(),
-    )(q4, k4, v4, gc4, beta4, s0f)
+    )(*streams, s0f)
     o4, s_out = outs[0], outs[1]
     o = o4.reshape(b, n * c, h, dv)[:, :t]
+    s_final = s_out.reshape(b, h, dk, dv)
     if collect_states:
-        return o, s_out.reshape(b, h, dk, dv), outs[2]
-    return o, s_out.reshape(b, h, dk, dv)
-
-
-def _delta_bwd_kernel(
-    nh, dk, dv, c, scale, n,
-    q_ref, k_ref, v_ref, gc_ref, beta_ref, st_ref, do_ref, dsfin_ref,
-    dq_ref, dk_ref, dv_ref, dg_ref, dbeta_ref, ds0_ref, ds_ref,
-):
-    """Reverse-chunk step: all chunk-indexed refs carry REVERSED index maps,
-    so grid step ni processes chunk n-1-ni and ``ds_ref`` (the cotangent of
-    the chunk-entry state) flows backward through the sequence."""
-    f32 = jnp.float32
-    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)  # noqa: E731
-    dot_t = lambda a, b: jax.lax.dot_general(  # noqa: E731  (a^T @ b)
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
-    )
-    dot_bt = lambda a, b: jax.lax.dot_general(  # noqa: E731  (a @ b^T)
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32
-    )
-
-    @pl.when(pl.program_id(1) == 0)
-    def _init():
-        ds_ref[...] = dsfin_ref[0]
-
-    strict, incl = _chunk_masks(c)
-    rowpos = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
-    dg_cols, dbeta_cols = [], []
-
-    for hi in range(nh):
-        qh = _hslice(q_ref[0, 0], hi, dk).astype(f32)
-        kh = _hslice(k_ref[0, 0], hi, dk).astype(f32)
-        vh = _hslice(v_ref[0, 0], hi, dv).astype(f32)
-        doh = _hslice(do_ref[0, 0], hi, dv).astype(f32)
-        gc = gc_ref[0, 0, :, hi : hi + 1].astype(f32)  # [C, 1]
-        beta = beta_ref[0, 0, :, hi : hi + 1].astype(f32)
-        glast = gc[c - 1, 0]
-        egl = jnp.exp(glast)
-
-        # recompute the forward chunk quantities from the entry state
-        t_inv, u, w, kk, dec_strict, eg = _wy_solve(
-            kh, vh, gc, beta, c, strict
-        )
-        gd = gc - gc.reshape(1, c)
-        dec_incl = jnp.where(incl, jnp.exp(gd), 0.0)
-        s_in = st_ref[0, 0, hi * dk : (hi + 1) * dk, :]  # [Dk, Dv] fp32
-        dso = ds_ref[hi * dk : (hi + 1) * dk, :]  # dL/dS_out of this chunk
-        v_eff = u - dot(w, s_in)
-        qk_full = dot_bt(qh, kh) * dec_incl  # unscaled intra scores
-        kc = kh * jnp.exp(glast - gc)
-        qdec = qh * eg
-
-        # S_out = e^gl S + kc^T v_eff
-        dv_eff = dot(kc, dso)  # [C, Dv]
-        dkc = dot_bt(v_eff, dso)  # [C, Dk]
-        dgl = egl * jnp.sum(s_in * dso)
-
-        # o = scale * (qdec @ S + qk_full @ v_eff)
-        dqdec = scale * dot_bt(doh, s_in)  # [C, Dk]
-        dP = scale * dot_bt(doh, v_eff)  # [C, C]
-        dv_eff = dv_eff + scale * dot_t(qk_full, doh)
-        dqk = dP * dec_incl  # d(qh kh^T)
-        dGd = dP * qk_full  # pairwise decay cotangent (o term)
-
-        # cotangent of the chunk-ENTRY state (flows to the previous chunk)
-        ds_in = (
-            egl * dso + scale * dot_t(qdec, doh) - dot_t(w, dv_eff)
-        )
-
-        # u = T (beta v), w = T (beta e^G k):  for y = T x,
-        # dx = T^T dy and dA = -(T^T dy) y^T  (A strictly lower)
-        du = dv_eff
-        dw = -dot_bt(dv_eff, s_in)  # [C, Dk]
-        dmu = dot_t(t_inv, du)
-        dmw = dot_t(t_inv, dw)
-        da = -(dot_bt(dmu, u) + dot_bt(dmw, w))
-        da = jnp.where(strict, da, 0.0)
-
-        # A = beta ⊙ (K K^T) ⊙ dec_strict
-        dkk = da * dec_strict * beta
-        dk_h = dot(dkk, kh) + dot_t(dkk, kh)
-        dbeta_h = jnp.sum(da * kk * dec_strict, 1, keepdims=True)
-        dGd = dGd + da * (kk * dec_strict * beta)  # = da ⊙ A
-
-        dv_h = beta * dmu
-        dbeta_h = dbeta_h + jnp.sum(dmu * vh, 1, keepdims=True)
-        dk_h = dk_h + (beta * eg) * dmw
-        dbeta_h = dbeta_h + jnp.sum(dmw * (eg * kh), 1, keepdims=True)
-        dg_h = jnp.sum(dmw * ((beta * eg) * kh), 1, keepdims=True)
-
-        # intra attention scores
-        dq_h = dqdec * eg + dot(dqk, kh)
-        dk_h = dk_h + dot_t(dqk, qh)
-
-        # kc = k e^{gl - G}
-        dk_h = dk_h + dkc * jnp.exp(glast - gc)
-        dg_h = dg_h - jnp.sum(dkc * kc, 1, keepdims=True)
-        dgl = dgl + jnp.sum(dkc * kc)
-
-        # qdec = q e^G
-        dg_h = dg_h + jnp.sum(dqdec * qdec, 1, keepdims=True)
-
-        # pairwise exp(G_i - G_j) terms: +rows, -cols; gl lands on G[C-1].
-        # The column sum rides the MXU as dGd^T @ 1 — a [C] reduce +
-        # reshape would need a cross-lane relayout in Mosaic.
-        ones_c = jnp.ones((c, 1), f32)
-        dg_h = (
-            dg_h + jnp.sum(dGd, 1, keepdims=True) - dot_t(dGd, ones_c)
-        )
-        dg_h = dg_h + jnp.where(rowpos == c - 1, dgl, 0.0)
-
-        dq_ref[0, 0, :, hi * dk : (hi + 1) * dk] = dq_h
-        dk_ref[0, 0, :, hi * dk : (hi + 1) * dk] = dk_h
-        dv_ref[0, 0, :, hi * dv : (hi + 1) * dv] = dv_h
-        dg_cols.append(dg_h)
-        dbeta_cols.append(dbeta_h)
-        ds_ref[hi * dk : (hi + 1) * dk, :] = ds_in
-
-    dg_ref[0, 0] = jnp.concatenate(dg_cols, axis=1)
-    dbeta_ref[0, 0] = jnp.concatenate(dbeta_cols, axis=1)
-
-    @pl.when(pl.program_id(1) == n - 1)
-    def _final():
-        ds0_ref[0] = ds_ref[...]
+        return o, s_final, outs[2]
+    return o, s_final
 
 
 def _delta_bwd_impl(
@@ -336,9 +524,6 @@ def _delta_bwd_impl(
     from ..ops.delta_rule import l2norm
     from ..ops.mhla_chunk import _pad_to_chunks
 
-    b, t, h, dk = q.shape
-    dv = v.shape[-1]
-    c = chunk_size
     f32 = jnp.float32
     qf, kf = q.astype(f32), k.astype(f32)
     if use_qk_l2norm:
@@ -346,62 +531,62 @@ def _delta_bwd_impl(
         kn, k_vjp = jax.vjp(l2norm, kf)
     else:
         qn, kn = qf, kf
+    streams, geom = _prep(qn, kn, v, g, beta, chunk_size)
+    b, t, h, dk, dv, c, gsz, n, ns, in_dtype, cdt = geom
+    s_len = gsz * c
+    fwd, rev, tok, col, el, state, st4 = _specs(geom)
+    scale = dk**-0.5
 
-    qp = _pad_to_chunks(qn, c)
-    kp = _pad_to_chunks(kn, c)
-    vp = _pad_to_chunks(v.astype(f32), c)
-    gp = _pad_to_chunks(g.astype(f32), c)
-    bp = _pad_to_chunks(beta.astype(f32), c)
-    dop = _pad_to_chunks(do.astype(f32), c)
-    n = qp.shape[1] // c
-
-    q4 = qp.reshape(b, n, c, h * dk)
-    k4 = kp.reshape(b, n, c, h * dk)
-    v4 = vp.reshape(b, n, c, h * dv)
-    do4 = dop.reshape(b, n, c, h * dv)
-    gc4 = jnp.cumsum(gp.reshape(b, n, c, h), axis=2)
-    beta4 = bp.reshape(b, n, c, h)
+    dop = _pad_to_chunks(do.astype(cdt), c)
+    n_real = dop.shape[1] // c
+    do4 = dop.reshape(b, n_real, c, h * dv)
+    if n > n_real:
+        do4 = jnp.pad(do4, ((0, 0), (0, n - n_real), (0, 0), (0, 0)))
+    do_s = do4.reshape(b, ns, s_len, h * dv)
     dsf = ds.astype(f32).reshape(b, h * dk, dv)
 
-    rev = lambda bi, ni: (bi, n - 1 - ni, 0, 0)  # noqa: E731
-    tok = lambda d: pl.BlockSpec((1, 1, c, h * d), rev)  # noqa: E731
-    small = pl.BlockSpec((1, 1, c, h), rev)
-    state = pl.BlockSpec((1, h * dk, dv), lambda bi, ni: (bi, 0, 0))
-    st4 = pl.BlockSpec((1, 1, h * dk, dv), rev)
-    scale = dk**-0.5
     dq4, dk4, dv4, dg4, dbeta4, ds0 = pl.pallas_call(
-        functools.partial(_delta_bwd_kernel, h, dk, dv, c, scale, n),
-        grid=(b, n),
+        functools.partial(_delta_bwd_kernel, h, dk, dv, c, gsz, scale, ns),
+        grid=(b, ns),
         in_specs=[
-            tok(dk), tok(dk), tok(dv), small, small, st4, tok(dv), state,
+            tok(dk, rev), tok(dk, rev), tok(dv, rev),
+            tok(c, rev), tok(c, rev),
+            col(rev), col(rev), col(rev), el(rev),
+            st4(rev), tok(dv, rev), state,
         ],
-        out_specs=(tok(dk), tok(dk), tok(dv), small, small, state),
+        out_specs=(
+            tok(dk, rev), tok(dk, rev), tok(dv, rev),
+            col(rev), col(rev), state,
+        ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, n, c, h * dk), f32),
-            jax.ShapeDtypeStruct((b, n, c, h * dk), f32),
-            jax.ShapeDtypeStruct((b, n, c, h * dv), f32),
-            jax.ShapeDtypeStruct((b, n, c, h), f32),
-            jax.ShapeDtypeStruct((b, n, c, h), f32),
+            jax.ShapeDtypeStruct((b, ns, s_len, h * dk), cdt),
+            jax.ShapeDtypeStruct((b, ns, s_len, h * dk), cdt),
+            jax.ShapeDtypeStruct((b, ns, s_len, h * dv), cdt),
+            jax.ShapeDtypeStruct((b, ns, s_len, h), f32),
+            jax.ShapeDtypeStruct((b, ns, s_len, h), f32),
             jax.ShapeDtypeStruct((b, h * dk, dv), f32),
         ),
         scratch_shapes=[pltpu.VMEM((h * dk, dv), f32)],
         cost_estimate=pl.CostEstimate(
             flops=6 * b * h * n * c * (3 * c * (dk + dv) // 2 + 3 * dk * dv),
-            bytes_accessed=(2 * q4.size + 2 * k4.size + 4 * v4.size)
-            * q4.dtype.itemsize,
-            transcendentals=3 * b * h * n * c * c,
+            bytes_accessed=(
+                streams[0].size * 4 + streams[2].size * 4 + streams[3].size * 2
+            )
+            * streams[0].dtype.itemsize,
+            transcendentals=0,
         ),
         interpret=_interpret(),
-    )(q4, k4, v4, gc4, beta4, states4, do4, dsf)
+    )(*streams, states4, do_s, dsf)
 
     # G = within-chunk inclusive cumsum(g)  =>  dg_t = sum_{t' >= t} dG_t'
-    dgc = jnp.flip(jnp.cumsum(jnp.flip(dg4, 2), axis=2), 2)
+    dgc = dg4.reshape(b, n, c, h)
+    dgc = jnp.flip(jnp.cumsum(jnp.flip(dgc, 2), axis=2), 2)
 
     def unpad(x4, d):
         return x4.reshape(b, n * c, h, d)[:, :t]
 
-    dqn = unpad(dq4, dk)
-    dkn = unpad(dk4, dk)
+    dqn = unpad(dq4, dk).astype(f32)
+    dkn = unpad(dk4, dk).astype(f32)
     dv_out = unpad(dv4, dv).astype(v.dtype)
     dg_out = dgc.reshape(b, n * c, h)[:, :t].astype(g.dtype)
     dbeta_out = dbeta4.reshape(b, n * c, h)[:, :t].astype(beta.dtype)
@@ -415,9 +600,7 @@ def _delta_bwd_impl(
     return dq_out, dk_out, dv_out, dg_out, dbeta_out, ds0_out
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8)
-)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _delta_fused(q, k, v, g, beta, s0, chunk_size, output_final_state,
                  use_qk_l2norm):
     o, s = _delta_fused_fwd_impl(q, k, v, g, beta, s0, chunk_size, use_qk_l2norm)
@@ -463,8 +646,8 @@ def gated_delta_chunk_fused(
     use_qk_l2norm: bool = True,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Drop-in for :func:`mhla_tpu.ops.delta_rule.gated_delta_chunk` with
-    the fused sequential-grid Pallas forward on TPU (falls back to the jnp
-    op elsewhere)."""
+    the fused sequential-supertile Pallas kernels on TPU (falls back to the
+    jnp op elsewhere)."""
     from ..ops.delta_rule import gated_delta_chunk
 
     b, t, h, dk = q.shape

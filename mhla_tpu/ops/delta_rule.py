@@ -36,7 +36,27 @@ def l2norm(x: jax.Array, eps: float = 1e-6) -> jax.Array:
     return x * jax.lax.rsqrt(jnp.sum(x * x, -1, keepdims=True) + eps)
 
 
-@partial(jax.jit, static_argnames=("output_final_state", "use_qk_l2norm"))
+def _f32_matmuls(fn):
+    """Trace the op under true-f32 matmul precision.
+
+    The TPU default matmul precision truncates f32 dot inputs to one bf16
+    pass. For most ops that is the right trade, but the delta rule's WY
+    solve and v_eff = u - w S chain are alternating/cancelling sums whose
+    truncation error feeds back through the state: measured ~11% output
+    drift at 2k tokens. These ops are the SEMANTIC ANCHOR (oracle for the
+    fused Pallas kernels and the decode path), so they pay for exactness;
+    the fused kernel keeps bf16 on the safe dots and full f32 only on the
+    Neumann solve (``kernels/delta_chunk_pallas._neumann_inv``)."""
+
+    @partial(jax.jit, static_argnames=("output_final_state", "use_qk_l2norm", "chunk_size"))
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@_f32_matmuls
 def gated_delta_recurrent(
     q: jax.Array,  # [B, T, H, Dk]
     k: jax.Array,  # [B, T, H, Dk]
@@ -102,7 +122,7 @@ def _tril_unit_inverse(a: jax.Array) -> jax.Array:
     return inv
 
 
-@partial(jax.jit, static_argnames=("chunk_size", "output_final_state", "use_qk_l2norm"))
+@_f32_matmuls
 def gated_delta_chunk(
     q: jax.Array,  # [B, T, H, Dk]
     k: jax.Array,  # [B, T, H, Dk]
