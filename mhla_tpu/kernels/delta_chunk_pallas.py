@@ -92,7 +92,7 @@ def _pick_gsz(c: int, h: int, dk: int, dv: int, nbytes: int) -> int:
     return 1
 
 
-def _neumann_inv(a, c, cdt):
+def _neumann_inv(a, c):
     """(I + A)^-1 for strictly-lower-triangular A (nilpotent) as a Neumann
     product of log2(C) squarings. The products MUST be true fp32: the
     partial products are alternating sums with real cancellation, and bf16
@@ -127,12 +127,19 @@ def _delta_fwd_kernel(
         (s_ref,) = rest
     f32 = jnp.float32
     cdt = qn_ref.dtype
-    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)  # noqa: E731
+    # On the f32 (non-bf16) path the jnp oracle traces under HIGHEST matmul
+    # precision; match it so the already-slow f32 path is also the exact one.
+    prec = jax.lax.Precision.HIGHEST if cdt == f32 else None
+    dot = lambda a, b: jnp.dot(  # noqa: E731
+        a, b, preferred_element_type=f32, precision=prec
+    )
     dot_bt = lambda a, b: jax.lax.dot_general(  # noqa: E731  (a @ b^T)
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
     )
     dot_t = lambda a, b: jax.lax.dot_general(  # noqa: E731  (a^T @ b)
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
     )
 
     @pl.when(pl.program_id(1) == 0)
@@ -164,7 +171,7 @@ def _delta_fwd_kernel(
             ec_col = ecv[sl, hi : hi + 1]
             kk = dot_bt(kg, kg)  # [C, C] f32
             a = kk * dsh[sl].astype(f32) * beta_col  # strict-masked
-            t_inv = _neumann_inv(a, c, cdt).astype(cdt)
+            t_inv = _neumann_inv(a, c).astype(cdt)
             vb = (vg.astype(f32) * beta_col).astype(cdt)
             u = dot(t_inv, vb)  # [C, Dv] f32
             wsrc = (kg.astype(f32) * (eg_col * beta_col)).astype(cdt)
@@ -204,12 +211,17 @@ def _delta_bwd_kernel(
     from the supertile-entry state saved by the forward."""
     f32 = jnp.float32
     cdt = qn_ref.dtype
-    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)  # noqa: E731
+    prec = jax.lax.Precision.HIGHEST if cdt == f32 else None
+    dot = lambda a, b: jnp.dot(  # noqa: E731
+        a, b, preferred_element_type=f32, precision=prec
+    )
     dot_bt = lambda a, b: jax.lax.dot_general(  # noqa: E731
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
     )
     dot_t = lambda a, b: jax.lax.dot_general(  # noqa: E731
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
     )
 
     @pl.when(pl.program_id(1) == 0)
@@ -243,7 +255,7 @@ def _delta_bwd_kernel(
             kk = dot_bt(kg, kg)
             kkds = kk * dsh[sl].astype(f32)  # strict decayed (pre-beta)
             a = kkds * beta_col
-            t_inv = _neumann_inv(a, c, cdt).astype(cdt)
+            t_inv = _neumann_inv(a, c).astype(cdt)
             vb = (vg.astype(f32) * beta_col).astype(cdt)
             u = dot(t_inv, vb)
             kneg = kg.astype(f32) * eg_col  # k e^G, f32

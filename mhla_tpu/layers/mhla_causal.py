@@ -58,6 +58,9 @@ class MHLACausal(nn.Module):
     num_slots: int = 32  # mixing-matrix size; max ctx = num_slots * chunk_size
     mode: str = "chunk"
     rope_base: float = 10000.0
+    # XPos (fla ``RotaryEmbedding(scale_base=...)``): positional decay baked
+    # into the rotary tables — q gets scale, k gets 1/scale (ops.rotary).
+    rope_scale_base: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
     # head-axis tensor parallelism: a jax.sharding.Mesh with a 'tensor' axis
     # of size > 1 routes the chunk path through one shard_map (heads are
@@ -196,7 +199,18 @@ class MHLACausal(nn.Module):
         # fused into one Pallas pass on flat rows (kernels.fused_fmap_rope)
         max_len = self.num_slots * self.chunk_size
         offset = state.recurrent.t if state is not None else 0
-        cos, sin = rotary_cos_sin(max_len, head_k, self.rope_base, jnp.float32)
+        if self.rope_scale_base is not None:
+            from ..ops.rotary import rotary_xpos_tables
+
+            cos, sin, cos_k, sin_k = rotary_xpos_tables(
+                max_len, head_k, self.rope_base, self.rope_scale_base,
+                jnp.float32,
+            )
+        else:
+            cos, sin = rotary_cos_sin(
+                max_len, head_k, self.rope_base, jnp.float32
+            )
+            cos_k, sin_k = cos, sin
         from ..kernels import fused_fmap_rope_flat
 
         positions = None
@@ -219,7 +233,7 @@ class MHLACausal(nn.Module):
                 positions=positions,
             )
             k = fused_fmap_rope_flat(
-                k, cos, sin, self.num_heads, fm, offset=offset,
+                k, cos_k, sin_k, self.num_heads, fm, offset=offset,
                 positions=positions,
             )
 
@@ -254,7 +268,7 @@ class MHLACausal(nn.Module):
                 q, k, v, mixing, cos, sin, self.num_heads, self.tp_mesh,
                 feature_map=fm, chunk_size=self.chunk_size,
                 positions=positions, segment_ids=segment_ids,
-                output_final_state=use_cache,
+                output_final_state=use_cache, cos_k=cos_k, sin_k=sin_k,
             )
             rec = None
             if use_cache:

@@ -25,7 +25,7 @@ Two forms:
 
 from __future__ import annotations
 
-from functools import partial
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -46,14 +46,23 @@ def _f32_matmuls(fn):
     drift at 2k tokens. These ops are the SEMANTIC ANCHOR (oracle for the
     fused Pallas kernels and the decode path), so they pay for exactness;
     the fused kernel keeps bf16 on the safe dots and full f32 only on the
-    Neumann solve (``kernels/delta_chunk_pallas._neumann_inv``)."""
+    Neumann solve (``kernels/delta_chunk_pallas._neumann_inv``).
 
-    @partial(jax.jit, static_argnames=("output_final_state", "use_qk_l2norm", "chunk_size"))
-    def wrapped(*args, **kwargs):
+    ``functools.wraps`` preserves the original signature, so ``jax.jit``
+    still resolves the static argnames when they are passed positionally."""
+
+    import inspect
+
+    @functools.wraps(fn)
+    def inner(*args, **kwargs):
         with jax.default_matmul_precision("highest"):
             return fn(*args, **kwargs)
 
-    return wrapped
+    statics = ("output_final_state", "use_qk_l2norm", "chunk_size")
+    params = inspect.signature(fn).parameters
+    return jax.jit(
+        inner, static_argnames=tuple(s for s in statics if s in params)
+    )
 
 
 @_f32_matmuls

@@ -38,6 +38,41 @@ def rotary_cos_sin(
     return jnp.asarray(np.cos(freqs), dtype), jnp.asarray(np.sin(freqs), dtype)
 
 
+def rotary_xpos_tables(
+    seq_len: int,
+    dim: int,
+    base: float = 10000.0,
+    scale_base: float = 512.0,
+    dtype=jnp.float32,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """XPos tables (Sun et al. 2212.10554): returns (cos_q, sin_q, cos_k,
+    sin_k), each [seq_len, dim/2].
+
+    Matches the reference fla ``RotaryEmbedding(scale_base=...)`` exactly
+    (``mhla_nlp/fla/modules/rotary.py:395-441``): per-feature decay vector
+    ``(arange(0, dim, 2) + 0.4 d) / (1.4 d)`` raised to the centered
+    position power ``(t - seq_len // 2) / scale_base``; q tables carry
+    ``scale``, k tables carry ``1/scale``, so attention scores pick up the
+    relative factor ``scale^{(t_q - t_k)/scale_base}``. Because the scale
+    multiplies the rotated output elementwise per feature pair, baking it
+    into the cos/sin tables keeps :func:`apply_rotary` /
+    ``apply_rotary_flat`` (and the fused fmap+rope kernel) unchanged —
+    XPos is purely a table swap."""
+    inv = rotary_freqs(dim, base)
+    t = np.arange(seq_len, dtype=np.float64)
+    freqs = np.outer(t, inv)  # [T, dim/2]
+    scale_vec = (np.arange(0, dim, 2, dtype=np.float64) + 0.4 * dim) / (1.4 * dim)
+    power = (t - seq_len // 2) / scale_base
+    scale = scale_vec[None, :] ** power[:, None]  # [T, dim/2]
+    cos, sin = np.cos(freqs), np.sin(freqs)
+    return (
+        jnp.asarray(cos * scale, dtype),
+        jnp.asarray(sin * scale, dtype),
+        jnp.asarray(cos / scale, dtype),
+        jnp.asarray(sin / scale, dtype),
+    )
+
+
 def apply_rotary(
     x: jax.Array, cos: jax.Array, sin: jax.Array, offset: int | jax.Array = 0
 ) -> jax.Array:

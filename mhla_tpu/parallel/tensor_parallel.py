@@ -69,6 +69,8 @@ def mhla_attention_tp_flat(
     positions: Optional[jax.Array] = None,  # [B, T] packed-varlen rotary
     segment_ids: Optional[jax.Array] = None,  # [B, T] packed-varlen docs
     output_final_state: bool = False,
+    cos_k: Optional[jax.Array] = None,  # XPos: k gets 1/scale tables
+    sin_k: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """The MHLACausal chunk interior (fused fmap+rope -> fused chunk op)
     with heads split over the ``tensor`` mesh axis — the trainer-reachable
@@ -93,8 +95,10 @@ def mhla_attention_tp_flat(
     row_spec = P(batch, None, axis)
     tok_spec = P(batch, None)  # per-token [B, T] side inputs
     has_pos, has_seg = positions is not None, segment_ids is not None
-    extras = [jnp.asarray(mixing_matrix), cos, sin]
-    extra_specs = [P(None, None), P(None, None), P(None, None)]
+    if cos_k is None:
+        cos_k, sin_k = cos, sin
+    extras = [jnp.asarray(mixing_matrix), cos, sin, cos_k, sin_k]
+    extra_specs = [P(None, None)] * 5
     if has_pos:
         extras.append(positions)
         extra_specs.append(tok_spec)
@@ -102,7 +106,7 @@ def mhla_attention_tp_flat(
         extras.append(segment_ids)
         extra_specs.append(tok_spec)
 
-    def local_fn(q_l, k_l, v_l, m_l, cos_, sin_, *rest):
+    def local_fn(q_l, k_l, v_l, m_l, cos_, sin_, cos_k_, sin_k_, *rest):
         pos_ = rest[0] if has_pos else None
         seg_ = rest[-1] if has_seg else None
         # the mixing matrix is a PARAMETER whose cotangent varies across
@@ -113,7 +117,7 @@ def mhla_attention_tp_flat(
         m_l = jax.lax.pvary(m_l, tuple(mesh.axis_names))
         q_l = fused_fmap_rope_flat(q_l, cos_, sin_, h_l, feature_map,
                                    positions=pos_)
-        k_l = fused_fmap_rope_flat(k_l, cos_, sin_, h_l, feature_map,
+        k_l = fused_fmap_rope_flat(k_l, cos_k_, sin_k_, h_l, feature_map,
                                    positions=pos_)
         o_l, s_l = mhla_chunk_fused_flat(
             q_l, k_l, v_l, m_l, num_heads=h_l, chunk_size=chunk_size,

@@ -513,6 +513,43 @@ class TestDeltaFused:
         for a, b_, name in zip(g_ref, g_out, ["q", "k", "v", "g", "beta"]):
             assert_close(f"delta fused pad grad {name}", a, b_, 1e-4)
 
+    def test_bf16_forward_and_grads(self, key):
+        """bf16 inputs exercise the cdt=bf16 kernel path (bf16 residual
+        states, bf16 decay streams) that real TPU runs take; compared
+        against the f32 jnp oracle on f32 copies of the same values with a
+        bf16-appropriate tolerance."""
+        from mhla_tpu.kernels.delta_chunk_pallas import gated_delta_chunk_fused
+        from mhla_tpu.ops.delta_rule import gated_delta_chunk
+
+        q, k, v, g, beta = self._inputs(key, b=1, t=200)
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        qf, kf, vf = (x.astype(jnp.float32) for x in (qb, kb, vb))
+
+        o_ref, s_ref = gated_delta_chunk(
+            qf, kf, vf, g, beta, output_final_state=True
+        )
+        o_out, s_out = gated_delta_chunk_fused(
+            qb, kb, vb, g, beta, output_final_state=True
+        )
+        assert_close("delta bf16 fwd", o_ref, o_out.astype(jnp.float32), 2e-2)
+        assert_close("delta bf16 state", s_ref, s_out, 2e-2)
+
+        def loss(op, *args):
+            o, _ = op(*args)
+            return jnp.sum(jnp.cos(o.astype(jnp.float32)))
+
+        g_ref = jax.grad(
+            lambda *a: loss(gated_delta_chunk, *a), argnums=(0, 1, 2, 3, 4)
+        )(qf, kf, vf, g, beta)
+        g_out = jax.grad(
+            lambda *a: loss(gated_delta_chunk_fused, *a),
+            argnums=(0, 1, 2, 3, 4),
+        )(qb, kb, vb, g, beta)
+        for a, b_, name in zip(g_ref, g_out, ["q", "k", "v", "g", "beta"]):
+            assert_close(
+                f"delta bf16 grad {name}", a, b_.astype(jnp.float32), 5e-2
+            )
+
 
 class TestGLAFused:
     """Fused GLA (MHLA kernels + decay recurrence) vs the jnp op."""

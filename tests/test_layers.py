@@ -116,6 +116,28 @@ class TestMHLACausal:
         (y, _), _ = layer.init_with_output(key, x)
         assert y.shape == (1, 16, 32)
 
+    def test_xpos_prefill_then_decode_matches_parallel(self, key):
+        """XPos (rope_scale_base) must stay chunk == recurrent: decode
+        indexes the same asymmetric q/k tables by offset."""
+        layer = MHLACausal(
+            hidden_size=32, num_heads=2, num_slots=4, chunk_size=8,
+            rope_scale_base=64.0,
+        )
+        t_total, t_prefill = 28, 20
+        x = jax.random.normal(key, (1, t_total, 32))
+        params = layer.init(key, x)
+        y_full, _ = layer.apply(params, x)
+        y_plain, _ = MHLACausal(
+            hidden_size=32, num_heads=2, num_slots=4, chunk_size=8
+        ).apply(params, x)
+        assert not jnp.allclose(y_full, y_plain)  # xpos actually changes it
+        y_pre, state = layer.apply(params, x[:, :t_prefill], use_cache=True)
+        outs = [y_pre]
+        for i in range(t_prefill, t_total):
+            y_i, state = layer.apply(params, x[:, i : i + 1], state, use_cache=True)
+            outs.append(y_i)
+        assert_close("xpos decode", y_full, jnp.concatenate(outs, axis=1), 1e-4)
+
 
 class TestMHLA2D:
     def test_forward(self, key):

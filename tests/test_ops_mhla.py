@@ -245,6 +245,49 @@ class TestRotary:
             "norm3d", jnp.linalg.norm(x, axis=-1), jnp.linalg.norm(y, axis=-1), 1e-5
         )
 
+    def test_xpos_tables_match_reference_formula(self):
+        """Tables == the fla RotaryEmbedding XPos cache
+        (``mhla_nlp/fla/modules/rotary.py:395-441``) computed directly in
+        numpy: scale_vec^{(t - T//2)/scale_base} times/divided into cos/sin."""
+        from mhla_tpu.ops.rotary import rotary_xpos_tables
+
+        t_len, d, base, sb = 48, 16, 10000.0, 512.0
+        cq, sq, ck, sk = rotary_xpos_tables(t_len, d, base, sb)
+        inv = 1.0 / (base ** (np.arange(0, d, 2, dtype=np.float64) / d))
+        freqs = np.outer(np.arange(t_len, dtype=np.float64), inv)
+        scale_vec = (np.arange(0, d, 2, dtype=np.float64) + 0.4 * d) / (1.4 * d)
+        power = (np.arange(t_len, dtype=np.float64) - t_len // 2) / sb
+        scale = scale_vec[None, :] ** power[:, None]
+        np.testing.assert_allclose(np.asarray(cq), np.cos(freqs) * scale, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(sq), np.sin(freqs) * scale, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ck), np.cos(freqs) / scale, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(sk), np.sin(freqs) / scale, rtol=1e-6)
+
+    def test_xpos_relative_decay(self, key):
+        """At d=2 (one feature pair) the XPos score factorizes exactly:
+        q_m . k_n = scale^{(m-n)/scale_base} * (plain-rotary score)."""
+        from mhla_tpu.ops.rotary import rotary_xpos_tables
+
+        d, sb = 2, 64.0
+        q = jax.random.normal(key, (1, 1, 1, d))
+        k = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 1, d))
+        cq, sq, ck, sk = rotary_xpos_tables(128, d, 10000.0, sb)
+        cos, sin = rotary_cos_sin(128, d)
+        s_pair = (0.0 + 0.4 * d) / (1.4 * d)
+
+        def scores(m, n):
+            qx = apply_rotary(q, cq, sq, offset=m)
+            kx = apply_rotary(k, ck, sk, offset=n)
+            qp = apply_rotary(q, cos, sin, offset=m)
+            kp = apply_rotary(k, cos, sin, offset=n)
+            return float(jnp.sum(qx * kx)), float(jnp.sum(qp * kp))
+
+        for m, n in [(10, 3), (100, 40), (7, 7)]:
+            got, plain = scores(m, n)
+            assert got == pytest.approx(
+                plain * s_pair ** ((m - n) / sb), rel=1e-4
+            )
+
 
 class TestRotaryHalvesEquivalence:
     def test_inner_products_match_interleaved(self, key):
