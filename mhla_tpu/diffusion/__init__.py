@@ -1,5 +1,11 @@
 from .sa_solver import sa_solver_sample
 from .unipc import unipc_sample
+from .lcm import lcm_sample_loop, lcm_timesteps
+from .flow_euler_variants import (
+    chunk_flow_euler_sample_loop,
+    create_temporal_chunks,
+    ltx_flow_euler_sample_loop,
+)
 from .gaussian_diffusion import (
     GaussianDiffusion,
     create_diffusion,
@@ -13,11 +19,16 @@ from .gaussian_diffusion import (
 
 __all__ = [
     "GaussianDiffusion",
+    "chunk_flow_euler_sample_loop",
     "create_diffusion",
+    "create_temporal_chunks",
     "flow_euler_sample_loop",
     "flow_q_sample",
     "flow_training_loss",
+    "lcm_sample_loop",
+    "lcm_timesteps",
     "logit_normal_timesteps",
+    "ltx_flow_euler_sample_loop",
     "make_beta_schedule",
     "sa_solver_sample",
     "space_timesteps",

@@ -173,3 +173,161 @@ class TestDiscreteSchedule:
         )
         assert np.isfinite(out).all()
         assert abs(out.mean() - 1.5) < 0.1
+
+
+class TestLCM:
+    def test_timestep_schedule_matches_reference_formula(self):
+        """Reference set_timesteps (lcm_scheduler.py:287-311)."""
+        from mhla_tpu.diffusion import lcm_timesteps
+
+        n_inf, origin, n_train = 4, 50, 1000
+        c = n_train // origin
+        origin_ts = np.asarray(list(range(1, origin + 1))) * c - 1
+        skip = len(origin_ts) // n_inf
+        expect = origin_ts[::-skip][:n_inf]
+        np.testing.assert_array_equal(lcm_timesteps(n_inf, origin, n_train), expect)
+
+    def test_boundary_scalings(self):
+        from mhla_tpu.diffusion.lcm import lcm_boundary_scalings
+
+        t = jnp.asarray(999.0)
+        c_skip, c_out = lcm_boundary_scalings(t)
+        ts = 999.0 / 0.1
+        np.testing.assert_allclose(float(c_skip), 0.25 / (ts**2 + 0.25), rtol=1e-6)
+        np.testing.assert_allclose(
+            float(c_out), ts / np.sqrt(ts**2 + 0.25), rtol=1e-6
+        )
+        # t=0 boundary: identity (c_skip=1, c_out=0)
+        c_skip0, c_out0 = lcm_boundary_scalings(jnp.asarray(0.0))
+        assert float(c_skip0) == pytest.approx(1.0)
+        assert float(c_out0) == pytest.approx(0.0)
+
+    def test_one_step_consistency_model_recovers_x0(self, key):
+        """A perfect epsilon model + one LCM step lands near x0: at large t,
+        c_skip ~ 0 and c_out ~ 1, so denoised ~ pred_x0."""
+        from mhla_tpu.diffusion import lcm_sample_loop
+
+        x0 = jnp.full((2, 8), 0.9)
+        noise = jax.random.normal(key, (2, 8))
+        betas = (
+            np.linspace(0.0001**0.5, 0.02**0.5, 1000, dtype=np.float64) ** 2
+        )
+        acp = np.cumprod(1 - betas)
+
+        def eps_model(x, t_b):
+            a = jnp.asarray(acp, jnp.float32)[t_b]
+            a = a.reshape(-1, 1)
+            # x = sqrt(a) x0 + sqrt(1-a) eps  =>  eps = (x - sqrt(a) x0)/sqrt(1-a)
+            return (x - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+
+        out = lcm_sample_loop(
+            eps_model, (2, 8), key, num_steps=1, noise=noise
+        )
+        np.testing.assert_allclose(np.asarray(out), 0.9, atol=2e-2)
+
+    def test_multistep_shapes_and_finiteness(self, key):
+        from mhla_tpu.diffusion import lcm_sample_loop
+
+        model = lambda x, t: 0.1 * x  # noqa: E731
+        out = lcm_sample_loop(model, (2, 4, 4), key, num_steps=4)
+        assert out.shape == (2, 4, 4)
+        assert bool(jnp.isfinite(out).all())
+
+
+class TestFlowEulerVariants:
+    def _linear_velocity_model(self):
+        # v = eps - x0 with x0 = 0 known: optimal v(x_t, t) = x_t / t
+        def model(x, t_frames, **kw):
+            tt = jnp.clip(t_frames, 1e-6)[:, None, :, None, None]
+            return x / tt
+
+        return model
+
+    def test_ltx_no_conditioning_matches_plain(self, key):
+        """Zero conditioning mask == plain FlowEuler on the same latents."""
+        from mhla_tpu.diffusion import ltx_flow_euler_sample_loop
+        from mhla_tpu.diffusion import flow_euler_sample_loop
+
+        shape = (1, 2, 3, 4, 4)
+        noise = jax.random.normal(key, shape)
+        model = self._linear_velocity_model()
+        out = ltx_flow_euler_sample_loop(
+            model, noise, key, num_steps=8, shift=1.0
+        )
+
+        def scalar_model(x, t_b, **kw):
+            t_frames = jnp.broadcast_to(t_b[:, None], (x.shape[0], x.shape[2]))
+            return model(x, t_frames)
+
+        # plain loop draws its own noise from the same key
+        ref = flow_euler_sample_loop(
+            scalar_model, shape, key, num_steps=8, shift=1.0
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_ltx_conditioning_frames_preserved(self, key):
+        from mhla_tpu.diffusion import ltx_flow_euler_sample_loop
+
+        shape = (1, 2, 4, 2, 2)
+        latents = jax.random.normal(key, shape)
+        mask = jnp.zeros(shape).at[:, :, 0].set(1.0)  # frame 0 conditions
+        model = self._linear_velocity_model()
+        out = ltx_flow_euler_sample_loop(
+            model, latents, key, num_steps=6, condition_mask=mask,
+            noise_scale=0.0, shift=1.0,
+        )
+        # conditioning frame unchanged; others moved
+        np.testing.assert_allclose(
+            np.asarray(out[:, :, 0]), np.asarray(latents[:, :, 0]), atol=1e-6
+        )
+        assert not np.allclose(np.asarray(out[:, :, 1]), np.asarray(latents[:, :, 1]))
+
+    def test_chunk_single_chunk_matches_ltx(self, key):
+        from mhla_tpu.diffusion import (
+            chunk_flow_euler_sample_loop,
+            ltx_flow_euler_sample_loop,
+        )
+
+        shape = (1, 2, 4, 2, 2)
+        latents = jax.random.normal(key, shape)
+        model = self._linear_velocity_model()
+        a = chunk_flow_euler_sample_loop(
+            model, latents, key, num_steps=6, chunk_index=[0], shift=1.0
+        )
+        b = ltx_flow_euler_sample_loop(
+            model, latents, key, num_steps=6, noise_scale=0.0, shift=1.0
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_chunk_staggered_denoises_all_chunks(self, key):
+        """Two chunks, staggered: both must end fully denoised (a perfect
+        v-model for x0=0 drives every frame to ~0 at t=0)."""
+        from mhla_tpu.diffusion import chunk_flow_euler_sample_loop
+
+        shape = (1, 2, 6, 2, 2)
+        latents = jax.random.normal(key, shape)
+        model = self._linear_velocity_model()
+        out = chunk_flow_euler_sample_loop(
+            model, latents, key, num_steps=16, chunk_index=[0, 3],
+            interval_k=0.5, shift=1.0,
+        )
+        # exact integration of dx/dt = x/t from 1 to ~0 drives x to ~0
+        assert float(jnp.max(jnp.abs(out))) < 0.2
+
+    def test_chunk_starts_passed_to_model(self, key):
+        from mhla_tpu.diffusion import chunk_flow_euler_sample_loop
+
+        seen = []
+
+        def model(x, t_frames, chunk_starts=None, **kw):
+            seen.append((x.shape[2], chunk_starts))
+            return jnp.zeros_like(x)
+
+        latents = jnp.zeros((1, 1, 6, 2, 2))
+        chunk_flow_euler_sample_loop(
+            model, latents, key, num_steps=4, chunk_index=[0, 3],
+            interval_k=0.5, pass_chunk_starts=True, shift=1.0,
+        )
+        frame_counts = sorted(set(s[0] for s in seen))
+        assert frame_counts == [3, 6]  # stage 1: chunk 0 only; stage 2: both
+        assert (6, (0, 3)) in seen
