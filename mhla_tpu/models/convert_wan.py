@@ -118,9 +118,19 @@ def convert_wan_checkpoint(
                 "weight": np.asarray(state[p + "self_attn.norm_k.weight"])[perm]
             }
         if attn_type == "mhla_uni":
-            # MHLA-specific params start fresh (gate proj + per-head norm)
+            # MHLA-specific params (gate proj + per-head norm): taken from
+            # the checkpoint when present (a checkpoint saved FROM the
+            # hybrid model, e.g. the full-model golden test), fresh
+            # otherwise (the reference's load_model_ckpt path: pretrained
+            # Wan2.1 checkpoints predate the MHLA layers)
             fresh_attn = fresh.get(f"blocks_{i}", {}).get("self_attn", {})
+            if p + "self_attn.g.weight" in state:
+                self_attn["g"] = _lin(state, p + "self_attn.g")
+            if p + "self_attn.g_norm.weight" in state:
+                self_attn["g_norm"] = _norm_w(state, p + "self_attn.g_norm")
             for name in ("g", "g_norm"):
+                if name in self_attn:
+                    continue
                 if name in fresh_attn:
                     self_attn[name] = fresh_attn[name]
                 elif name == "g" and cfg.is_gated:
