@@ -78,10 +78,24 @@ def layer_mode(args):
         params = jax.jit(lambda r, xx: block.init(r, xx, e0, ctx, grid))(
             jax.random.PRNGKey(0), x
         )
-        fwd = jax.jit(lambda p, xx: block.apply(p, xx, e0, ctx, grid))
+        if args.bwd:
+            # train-step cost: fwd+bwd w.r.t. params AND activations (the
+            # block sits mid-network, so dx flows too)
+            def loss(p, xx):
+                o = block.apply(p, xx, e0, ctx, grid)
+                return jnp.sum(o.astype(jnp.float32) ** 2) * 1e-6, o
 
-        def f(z, _t, _c):
-            return fwd(params, z)
+            vg = jax.jit(jax.grad(loss, argnums=(0, 1), has_aux=True))
+
+            def f(z, _t, _c):
+                (gp, gx), o = vg(params, z)
+                return o + gx
+
+        else:
+            fwd = jax.jit(lambda p, xx: block.apply(p, xx, e0, ctx, grid))
+
+            def f(z, _t, _c):
+                return fwd(params, z)
 
         dt = measure(f, (x, 0, ctx), n1=3, n2=9)
         results[mode] = dt
@@ -101,6 +115,9 @@ def main():
     ap.add_argument("--layer", action="store_true",
                     help="time ONE WanBlock per attention flavor instead of "
                          "the full model (per-layer cost attribution)")
+    ap.add_argument("--bwd", action="store_true",
+                    help="with --layer: time fwd+bwd (train-step cost) "
+                         "instead of forward only")
     args = ap.parse_args()
 
     import jax

@@ -66,6 +66,13 @@ from .mhla_chunk_pallas import _hslice, _interpret, _use_pallas
 
 _VMEM_BUDGET = 13 * 1024 * 1024
 
+# Mosaic's default scoped-VMEM limit is 16 MiB, and its stack accounting
+# charges kernel-body temporaries beyond the double-buffered blocks the
+# G-picker budgets for (the 32k bf16 backward allocates a 24.5 MiB stack
+# and OOMs at the default). v5e has 128 MiB of VMEM per core; raise the
+# scoped limit and let _pick_gsz keep the real block working set bounded.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
 
 def _pick_gsz(c: int, h: int, dk: int, dv: int, nbytes: int) -> int:
     """Largest G in {8,4,2,1} whose double-buffered BACKWARD working set
@@ -517,6 +524,7 @@ def _delta_fused_fwd_impl(
             * nb,
             transcendentals=0,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(*streams, s0f)
     o4, s_out = outs[0], outs[1]
@@ -587,6 +595,7 @@ def _delta_bwd_impl(
             * streams[0].dtype.itemsize,
             transcendentals=0,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(*streams, states4, do_s, dsf)
 
