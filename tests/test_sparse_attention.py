@@ -81,10 +81,59 @@ class TestSparseFlashParity:
         ref = self._oracle(q, k, v, frames)
         mod.FORCE_INTERPRET = True
         try:
-            out = sparse_flash_attention(q, k, v, num_frames=frames)
+            out = sparse_flash_attention(
+                q, k, v, num_frames=frames, compute_dtype=jnp.float32
+            )
+            out_bf16 = sparse_flash_attention(q, k, v, num_frames=frames)
         finally:
             mod.FORCE_INTERPRET = False
         assert_close("splash vs masked sdpa", ref, out, 2e-5)
+        # production default casts fp32 inputs to bf16 kernel streams
+        assert out_bf16.dtype == q.dtype
+        assert_close("splash bf16 vs masked sdpa", ref, out_bf16, 2e-2)
+
+    @pytest.mark.parametrize("frames,hw", [(4, 640), (8, 568)])
+    def test_radial_kernel_interpret_matches_oracle(self, key, frames, hw):
+        """The custom analytic-mask forward kernel (the TPU production
+        forward), including the q/kv padding rows (hw=568 pads 4544->4608
+        on both axes)."""
+        from mhla_tpu.kernels.sparse_attention import radial_flash_attention
+
+        t = frames * hw
+        b, h, d = 1, 2, 128
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, t, h, d))
+        k = jax.random.normal(kk, (b, t, h, d))
+        v = jax.random.normal(kv, (b, t, h, d))
+        ref = self._oracle(q, k, v, frames)
+        out = radial_flash_attention(
+            q, k, v, frames, compute_dtype=jnp.float32, interpret=True
+        )
+        assert_close("radial kernel vs masked sdpa", ref, out, 2e-5)
+
+    def test_radial_schedule_is_conservative(self):
+        """Every allowed token pair must fall inside a scheduled tile."""
+        from mhla_tpu.kernels.sparse_attention import _radial_schedule
+
+        t, frames, bq, bk = 4544, 8, 256, 256
+        sched, nsteps, full = _radial_schedule(t, frames, bq, bk)
+        mask = radial_mask_dense(t, frames)
+        nk = (t + bk - 1) // bk
+        covered = np.zeros((sched.shape[0], nk), bool)
+        for i in range(sched.shape[0]):
+            covered[i, sched[i, : nsteps[i]]] = True
+        for i in range(sched.shape[0]):
+            for j in range(nk):
+                blk = mask[i * bq : (i + 1) * bq, j * bk : (j + 1) * bk]
+                if blk.any():
+                    assert covered[i, j], (i, j)
+        # and the `full` flag must never cover a disallowed real pair
+        for i in range(sched.shape[0]):
+            for sidx in range(nsteps[i]):
+                if full[i, sidx]:
+                    j = sched[i, sidx]
+                    blk = mask[i * bq : (i + 1) * bq, j * bk : (j + 1) * bk]
+                    assert blk.all(), (i, int(j))
 
 
 class TestWanSparseWiring:
