@@ -154,6 +154,11 @@ def main():
 
         out["fused_fwdbwd_ms"] = round(measure(grad_fn(fused_op)) * 1e3, 3)
         out["jnp_fwdbwd_ms"] = round(measure(grad_fn(jnp_op)) * 1e3, 3)
+        # the training-path ratio — what the layers' fused default is
+        # justified (or not) by; `value` stays the forward-only ratio
+        out["train_speedup"] = round(
+            out["jnp_fwdbwd_ms"] / out["fused_fwdbwd_ms"], 3
+        )
 
     print(
         f"[gla_bench op={args.op}] seq={t} "

@@ -35,5 +35,6 @@ run wan_fp32            timeout 3000 python benchmarks/wan_bench.py --modes hybr
 run wan_bf16            timeout 3000 python benchmarks/wan_bench.py --modes hybrid,softmax,mhla --bf16_attn
 run wan_layer_fp32      timeout 1800 python benchmarks/wan_bench.py --layer
 run wan_layer_bf16      timeout 1800 python benchmarks/wan_bench.py --layer --bf16_attn
+run wan_layer_bwd_bf16  timeout 2400 python benchmarks/wan_bench.py --layer --bwd --bf16_attn
 echo "=== done -> $OUT" >&2
 cat "$OUT"
