@@ -83,8 +83,14 @@ def main():
         # the estimate closest to true device time. Session-to-session the
         # SAME kernel still spans ~±0.3 ms at 32k (measured 1.07-1.64 ms
         # across four relay sessions) — compare numbers only within one
-        # committed run (benchmarks/RESULTS.jsonl).
-        return min((run(n2) - run(n1)) / (n2 - n1) for _ in range(7))
+        # committed run (benchmarks/RESULTS.jsonl). A NON-POSITIVE diff
+        # means the relay replayed the short run's dispatches (one r5
+        # session emitted fwd_ms=-0.2); those samples are garbage, not a
+        # fast kernel — drop them rather than letting min() keep them.
+        diffs = [(run(n2) - run(n1)) / (n2 - n1) for _ in range(7)]
+        pos = [d for d in diffs if d > 0]
+        assert pos, f"all differenced timings non-positive (relay replay): {diffs}"
+        return min(pos)
 
     # chained: output re-enters as q (relu keeps it a valid positive
     # feature). Both ops are fed the projection-natural head-flat

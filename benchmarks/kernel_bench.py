@@ -73,8 +73,12 @@ def main():
 
         run(2)  # settle post-compile relay outliers
         # best-of-7: relay outliers bias upward only; cross-session spread
-        # is still ~±0.3 ms (see bench.py note) — trust one-session runs
-        return min((run(n2) - run(n1)) / (n2 - n1) for _ in range(7))
+        # is still ~±0.3 ms (see bench.py note) — trust one-session runs.
+        # Non-positive diffs = relay replay garbage; drop them (bench.py).
+        diffs = [(run(n2) - run(n1)) / (n2 - n1) for _ in range(7)]
+        pos = [d for d in diffs if d > 0]
+        assert pos, f"all differenced timings non-positive (relay replay): {diffs}"
+        return min(pos)
 
     # k/v/m are jit ARGUMENTS — closing over them bakes 64 MB streams into
     # the HLO as constants (compile stalls on the relay; CLAUDE.md rule)

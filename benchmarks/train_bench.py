@@ -60,8 +60,13 @@ def main():
         max_position_embeddings=max(2048, args.seq),
         attn_extends=args.attn,
     )
-    # activation memory: 24 layers x 32k ctx needs per-block remat
-    model = MHLAForCausalLM(cfg, remat=args.seq >= 8192)
+    # activation memory: 24 layers x 32k ctx needs per-block remat; so does
+    # mamba2 even at 2k (2x-expanded inner width doubles every activation
+    # stream and the fused-GLA backward saves supertile-entry states per
+    # layer on top — batch 4 x 2048 measured 16.2G > the 15.75G HBM)
+    model = MHLAForCausalLM(
+        cfg, remat=args.seq >= 8192 or args.attn == "mamba2"
+    )
     rng = jax.random.PRNGKey(0)
     ids = jax.random.randint(rng, (args.batch, args.seq), 0, cfg.vocab_size)
     params = jax.jit(model.init)(rng, ids[:1, :256])  # small init trace

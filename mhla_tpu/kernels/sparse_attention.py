@@ -148,10 +148,18 @@ def _build_splash_kernel(
     block_kv = block_kv or BLOCK_KV
     mask = RadialMask(seq_len, num_frames, pad_to)
     mh = _splash_mask.MultiHeadMask([mask for _ in range(num_heads)])
+    bq, bkv = min(block_q, pad_to), min(block_kv, pad_to)
     sizes = _splash_kernel.BlockSizes(
-        block_q=min(block_q, pad_to),
-        block_kv=min(block_kv, pad_to),
-        block_kv_compute=min(block_kv, pad_to),
+        block_q=bq,
+        block_kv=bkv,
+        block_kv_compute=bkv,
+        # backward blocks: required as soon as the kernel is differentiated
+        # (the radial custom_vjp routes its backward through splash's vjp);
+        # use the fused dkv+dq kernel at the same block shape
+        block_q_dkv=bq,
+        block_kv_dkv=bkv,
+        block_kv_dkv_compute=bkv,
+        use_fused_bwd_kernel=True,
     )
     return _splash_kernel.make_splash_mha_single_device(
         mh, block_sizes=sizes, interpret=interpret
@@ -194,16 +202,24 @@ def _round_up(x: int, m: int) -> int:
 # fast path.
 # ---------------------------------------------------------------------------
 
-# Measured sweep at 31.5k/21f/12h bf16 (vs 46.1 ms dense Pallas flash):
+# Measured sweep at 31.5k/21f/12h bf16 (vs 46-47 ms dense Pallas flash):
 #   256x256: 73.6   512x256: 76.7   256x512: 62.3   512x512: 62.9
-#   256x1024: 39.1  <- default
+#   256x1024: 39.1 <- default      512x1024: 39.7
 # The kernel is per-step-cost-bound, not FLOP-bound: small kv tiles buy
 # schedule sparsity (density 0.74 at 256 vs 0.99 at 1024) but pay a ~3-5us
 # fixed cost per grid step (dynamically-indexed kv DMA + accumulator
 # round-trip), so the fat-tile near-dense schedule wins — the 1.2x over
 # the stock flash kernel comes from the head-folded step layout (one
-# q-block/m/l/acc residency serves all 12 heads), not from skipped blocks.
-# Skipped-FLOP gains need sub-tile compute skipping inside fat DMA spans.
+# q-block/m/l/acc residency serves all 12 heads) running at ~79% of the
+# 31 ms dense-MXU floor, not from skipped blocks.
+#
+# Failed design, kept as a record: sub-tile compute skipping (fat 1024-col
+# DMA spans + a scalar-prefetched bitmask choosing 256x256 sub-dots via
+# lax.cond) measured 133 ms — 3.4x WORSE than the same shape without the
+# conds (39.7 ms). Mosaic serializes the pipeline around data-dependent
+# cond branches, so every skipped FLOP cost more than it saved. Real
+# sub-density gains would need hand-rolled multi-buffered DMA + predicated
+# MXU issue, not grid-level conds.
 _RADIAL_BQ = 256
 _RADIAL_BK = 1024
 

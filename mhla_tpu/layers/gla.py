@@ -18,8 +18,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import get_feature_map
-from ..kernels.gla_chunk_pallas import gla_chunk_fused as gla_chunk
-from ..ops.gla_chunk import gla_recurrent
+
+# Honest-default policy (RESULTS.jsonl gla_32k at HEAD): the fused Pallas
+# GLA kernel TIES the jnp chunk op on the training path (fwd+bwd 0.998x)
+# and LOSES forward-only (0.755x — prefill), so the jnp op is the default;
+# the fused kernels stay available for shapes where they win:
+#   from ..kernels.gla_chunk_pallas import gla_chunk_fused as gla_chunk
+from ..ops.gla_chunk import gla_chunk, gla_recurrent
 from .norms import GatedRMSNorm, RMSNorm
 
 

@@ -23,8 +23,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..kernels.gla_chunk_pallas import gla_chunk_fused as gla_chunk
-from ..ops.gla_chunk import gla_recurrent
+# jnp chunk op is the honest default — see the note in layers/gla.py
+# (fused kernel ties fwd+bwd, loses forward-only at the 32k bench)
+from ..ops.gla_chunk import gla_chunk, gla_recurrent
 from .gated_deltanet import _a_log_init, _dt_bias_init
 from .norms import GatedRMSNorm
 from .short_conv import ShortConvolution

@@ -111,6 +111,33 @@ class TestSparseFlashParity:
         )
         assert_close("radial kernel vs masked sdpa", ref, out, 2e-5)
 
+    def test_splash_backward_matches_oracle(self, key):
+        """The differentiable path (the radial custom_vjp's backward rides
+        splash's vjp — regression for the missing backward-block sizes)."""
+        from mhla_tpu.kernels import sparse_attention as mod
+
+        frames, hw = 4, 256
+        t = frames * hw
+        b, h, d = 1, 2, 128
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, t, h, d))
+        k = jax.random.normal(kk, (b, t, h, d))
+        v = jax.random.normal(kv, (b, t, h, d))
+
+        def loss_splash(q, k, v):
+            o = mod._splash_attention(
+                q, k, v, frames, d**-0.5, jnp.float32, interpret=True
+            )
+            return jnp.sum(o**2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(self._oracle(q, k, v, frames) ** 2)
+
+        g1 = jax.grad(loss_splash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_, n in zip(g1, g2, "qkv"):
+            assert_close(f"splash d{n} vs oracle", b_, a, 2e-5)
+
     def test_radial_schedule_is_conservative(self):
         """Every allowed token pair must fall inside a scheduled tile."""
         from mhla_tpu.kernels.sparse_attention import _radial_schedule
