@@ -63,27 +63,54 @@ def flash_attention(
     )
 
     b, t, h, d = q.shape
+    tk = k.shape[1]
+    assert not causal or tk == t, "causal flash needs equal q/kv lengths"
+    assert segment_ids is None or tk == t, "packed varlen is self-attn only"
     blk = min(512, t)
+    blk_k = min(512, ((tk + 127) // 128) * 128)  # kv blocks need 128-mult
     pad = (-t) % blk
+    pad_k = (-tk) % blk_k
     seg = segment_ids
-    if pad:
-        zeros = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))  # noqa: E731
-        q, k, v = zeros(q), zeros(k), zeros(v)
-        if seg is None:
-            seg = (jnp.arange(t + pad) >= t).astype(jnp.int32)[None, :].repeat(b, 0)
-        else:
-            # pads get a segment no real token carries (ids are >= 0)
-            seg = jnp.pad(seg.astype(jnp.int32), ((0, 0), (0, pad)), constant_values=-1)
-    segment_ids = SegmentIds(q=seg, kv=seg) if seg is not None else None
+    need_seg = pad or pad_k or seg is not None
+    if need_seg and seg is None:
+        seg = jnp.zeros((b, t), jnp.int32)
+    if pad or pad_k:
+        zeros = lambda x, p: jnp.pad(  # noqa: E731
+            x, ((0, 0), (0, p), (0, 0), (0, 0))
+        )
+        q = zeros(q, pad)
+        k, v = zeros(k, pad_k), zeros(v, pad_k)
+    seg_q = seg_kv = None
+    if need_seg:
+        # pads get a segment no real token carries (ids are >= 0); kv pads
+        # MUST be masked (they'd receive probability mass), q pads are
+        # sliced off but keep a distinct id so their softmax stays sane
+        seg_q = jnp.pad(
+            seg.astype(jnp.int32), ((0, 0), (0, pad)), constant_values=-1
+        )
+        seg_kv = (
+            seg_q
+            if tk == t and pad_k == pad
+            else jnp.pad(
+                (seg if tk == t else jnp.zeros((b, tk), jnp.int32)).astype(
+                    jnp.int32
+                ),
+                ((0, 0), (0, pad_k)),
+                constant_values=-2,
+            )
+        )
+    segment_ids = (
+        SegmentIds(q=seg_q, kv=seg_kv) if seg_q is not None else None
+    )
 
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     sizes = BlockSizes(
-        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
-        block_q_major_dkv=blk, block_k_major_dkv=blk,
-        block_k_dkv=blk, block_q_dkv=blk,
-        block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+        block_q=blk, block_k_major=blk_k, block_k=blk_k, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk_k,
+        block_k_dkv=blk_k, block_q_dkv=blk,
+        block_k_major_dq=blk_k, block_k_dq=blk_k, block_q_dq=blk,
     )
     o = pallas_flash(
         qt, kt, vt, segment_ids=segment_ids, causal=causal, sm_scale=scale,

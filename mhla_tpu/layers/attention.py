@@ -34,17 +34,21 @@ def sdpa(
 ) -> jax.Array:
     """Scaled dot-product attention over [B, T, H, D] tensors.
 
-    Long self-attention sequences on TPU dispatch to the Pallas flash kernel
-    (XLA's einsum path materializes the [T, T] scores — 2 GB+ at Wan's 31.5k
-    tokens); short or cross-shaped cases stay on the fused XLA path.
+    Long-query sequences on TPU dispatch to the Pallas flash kernel — for
+    self-attention AND cross-attention: XLA's einsum path materializes the
+    fp32 [Tq, Tk] scores, which is 2 GB+ at Wan's 31.5k self-attention and
+    still ~0.8 GB of HBM round-trips against a 512-token text context
+    (measured 6.0 ms of a WanBlock's 27 ms; the flash path cuts it to the
+    ~2 ms stream floor). Short cases stay on the fused XLA path.
     ``mask`` is a broadcastable boolean [B, H, Tq, Tk] keep-mask;
     ``segment_ids`` [B, T] restricts attention within packed documents.
     """
     if (
         window is None
         and mask is None
-        and q.shape[1] == k.shape[1]
         and q.shape[1] >= 2048
+        and (q.shape[1] == k.shape[1] or (not causal and segment_ids is None))
+        and k.shape[1] >= 128
         and jax.default_backend() == "tpu"
         and q.shape[-1] % 128 == 0
     ):
