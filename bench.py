@@ -69,8 +69,18 @@ def main():
         y = f(x, *extra)
         float(jnp.sum(y.astype(jnp.float32)))  # compile + warm
 
+        # every run() starts from a FRESH jittered input so no dispatch
+        # chain ever repeats byte-identically: the relay replays repeated
+        # identical dispatch sequences (one r5 session measured a 0.45 ms
+        # "kernel" at 1781 GB/s — past the physical HBM rate), and the
+        # positive-diff filter alone can't catch partial replays. The
+        # multiplicative jitter doesn't change the work done.
+        salt = [0]
+
         def run(n):
-            z = x
+            salt[0] += 1
+            z = (x * (1.0 + 2.0**-10 * salt[0])).astype(x.dtype)
+            float(jnp.sum(z.astype(jnp.float32)))  # materialize off-clock
             t0 = time.perf_counter()
             for _ in range(n):
                 z = f(z, *extra)

@@ -63,8 +63,14 @@ def main():
         y = fn(q)
         float(jnp.sum(y.astype(jnp.float32)))  # compile + warm
 
+        # fresh jittered start per run: repeated identical dispatch chains
+        # get replayed by the relay (see bench.py note)
+        salt = [0]
+
         def run(n):
-            z = q
+            salt[0] += 1
+            z = (q * (1.0 + 2.0**-10 * salt[0])).astype(q.dtype)
+            float(jnp.sum(z.astype(jnp.float32)))  # materialize off-clock
             t0 = time.perf_counter()
             for _ in range(n):
                 z = fn(z)
@@ -98,6 +104,11 @@ def main():
         "unit": "ms",
         "hbm_gbps": round(streams_mb / 1e3 / t_fwd, 1),
     }
+    # physics check: v5e HBM peaks at ~819 GB/s — a higher implied rate
+    # means the relay replayed dispatches and the sample is garbage
+    assert out["hbm_gbps"] < 850, (
+        f"implied {out['hbm_gbps']} GB/s exceeds v5e HBM — relay replay"
+    )
 
     if args.bwd:
 

@@ -1,4 +1,6 @@
 from .attention import SelfAttention, sdpa
+from .bitlinear import BitLinear, bit_linear
+from .long_conv import ImplicitLongConvolution, LongConvolution
 from .feature_maps import (
     LEARNABLE_FEATURE_MAPS,
     HadamardFeatureMap,
@@ -37,9 +39,13 @@ __all__ = [
     "T2RFeatureMap",
     "TaylorFeatureMap",
     "feature_map_output_dim",
+    "BitLinear",
+    "bit_linear",
     "GatedMLP",
     "GatedRMSNorm",
+    "ImplicitLongConvolution",
     "LayerNorm",
+    "LongConvolution",
     "LinearAttention2D",
     "MHLACausal",
     "MHLACausalState",
