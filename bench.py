@@ -150,6 +150,15 @@ def main():
         f"rel_rms_vs_xla={max_rel_err:.2e}",
         file=sys.stderr,
     )
+    # physics floor: ~940 MB of mandatory HBM streams at the default 32k
+    # scenario can't move faster than v5e's 819 GB/s — a faster "fwd" means
+    # the relay replayed part of the dispatch chain (see measure())
+    if (args.seq, args.heads, args.dim) == (32768, 8, 128):
+        floor_ms = 940 / 850  # small tolerance over the nominal rate
+        assert t_mhla * 1e3 > floor_ms, (
+            f"fwd {t_mhla*1e3:.3f} ms beats the {floor_ms:.2f} ms HBM floor "
+            "— relay replay; rerun"
+        )
     print(
         json.dumps(
             {

@@ -124,6 +124,11 @@ def main():
         out["fwdbwd_ms"] = round(
             measure(lambda x: g_j(x, k, v, m)) * 1e3, 3
         )
+        # fwd+bwd can't be cheaper than fwd — a violation means one of the
+        # two samples was relay-replayed; fail instead of committing it
+        assert out["fwdbwd_ms"] > out["value"], (
+            f"fwd+bwd {out['fwdbwd_ms']} < fwd {out['value']} (relay replay)"
+        )
 
     print(
         f"[kernel_bench] seq={t} fwd={out['value']}ms"
