@@ -139,9 +139,34 @@ def main():
         lambda x, kk, vv, mm: jax.nn.relu(jax.grad(loss_fn)(x, kk, vv, mm))
     )
 
+    # physics floor for the default scenario: ~940 MB of mandatory HBM
+    # streams can't beat v5e's 819 GB/s — a faster sample means the relay
+    # replayed part of the chain despite the jittered seeds; re-measure
+    # (fresh jitter) instead of emitting garbage or dying on one flake
+    floor_s = (
+        940e6 / 850e9
+        if (args.seq, args.heads, args.dim) == (32768, 8, 128)
+        else 0.0
+    )
+
+    def measure_floored(f, x, extra):
+        for attempt in range(4):
+            t_ = measure(f, x, extra)
+            if t_ > floor_s:
+                return t_
+            print(
+                f"[bench] {t_*1e3:.3f} ms beats the {floor_s*1e3:.2f} ms "
+                f"HBM floor (relay replay) — retry {attempt + 1}",
+                file=sys.stderr,
+            )
+        raise AssertionError(
+            f"4 consecutive sub-floor samples ({t_*1e3:.3f} ms) — relay "
+            "replaying; rerun in a fresh session"
+        )
+
     t_flash = measure(f_flash, qf, (kf, vf))
-    t_mhla = measure(f_mhla, qf, (kf, vf, m))
-    t_mhla_bwd = measure(f_mhla_bwd, qf, (kf, vf, m))
+    t_mhla = measure_floored(f_mhla, qf, (kf, vf, m))
+    t_mhla_bwd = measure_floored(f_mhla_bwd, qf, (kf, vf, m))
 
     speedup = t_flash / t_mhla
     print(
