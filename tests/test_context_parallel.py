@@ -37,6 +37,7 @@ class TestCausalCP:
         # output keeps the sequence sharding
         assert o_cp.sharding.spec == P(None, "fsdp", None, None)
 
+    @pytest.mark.slow
     def test_grad_flows(self, key):
         mesh = make_mesh()
         b, t, h, d = 1, 8 * 16, 2, 8

@@ -53,6 +53,7 @@ def synth_state(rng):
 
 
 class TestConvertWan:
+    @pytest.mark.slow
     def test_convert_and_run(self, key):
         model = WanModel(CFG)
         x = jnp.zeros((1, 4, 8, 8, 4))

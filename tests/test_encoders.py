@@ -122,6 +122,7 @@ class TestWanVAE:
         )
         assert video_shape.shape == (1, 21, 8, 8, 16)
 
+    @pytest.mark.slow
     def test_temporal_causality(self, key):
         """Future frames must not change earlier latents (causal convs)."""
         vae = WanVAE(TINY_VAE)

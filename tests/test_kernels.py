@@ -378,6 +378,7 @@ class TestMHLA3DFusedPath:
         tol = 1e-5 if island_dt is None else 2e-2  # bf16 island rounding
         assert_close(f"mhla3d fused(norm={normalize_out})", ref, out, tol)
 
+    @pytest.mark.slow
     def test_fused_path_gradients(self, key):
         from mhla_tpu.kernels import mhla_chunk_pallas as mod
         from mhla_tpu.layers import MHLA3D
@@ -426,6 +427,7 @@ class TestDeltaFused:
         beta = jax.nn.sigmoid(jax.random.normal(ks[4], (b, t, h)))
         return q, k, v, g, beta
 
+    @pytest.mark.slow
     def test_forward_and_state_match_op(self, key):
         from mhla_tpu.kernels.delta_chunk_pallas import gated_delta_chunk_fused
         from mhla_tpu.ops.delta_rule import gated_delta_chunk
@@ -440,6 +442,7 @@ class TestDeltaFused:
         assert_close("delta fused fwd", o_ref, o_out, 1e-4)
         assert_close("delta fused state", s_ref, s_out, 1e-4)
 
+    @pytest.mark.slow
     def test_initial_state_and_grads(self, key):
         from mhla_tpu.kernels.delta_chunk_pallas import gated_delta_chunk_fused
         from mhla_tpu.ops.delta_rule import gated_delta_chunk
@@ -465,6 +468,7 @@ class TestDeltaFused:
         for a, b_, name in zip(g_ref, g_out, ["q", "k", "v", "g", "beta", "s0"]):
             assert_close(f"delta fused grad {name}", a, b_, 1e-4)
 
+    @pytest.mark.slow
     def test_asymmetric_dims_and_chunk(self, key):
         """GDN-style dv = 2*dk geometry at a non-default chunk size."""
         from mhla_tpu.kernels.delta_chunk_pallas import gated_delta_chunk_fused

@@ -73,6 +73,7 @@ class TestSelectiveScanOp:
 
 
 class TestGoldenVsHF:
+    @pytest.mark.slow
     def test_mixer_golden(self, key):
         torch = pytest.importorskip("torch")
         from transformers.models.mamba.configuration_mamba import MambaConfig

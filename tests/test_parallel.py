@@ -155,6 +155,7 @@ class TestTensorParallel:
             o_tp.block_until_ready()
         assert_close("tp interior", ref(q, k, v), o_tp, 1e-5)
 
+    @pytest.mark.slow
     def test_trainer_level_tp_matches_single(self, tmp_path):
         """lm_train --train.n_tensor=2: same data/seed as n_tensor=1 gives
         the same loss (VERDICT r3 item 5 'trainer-level TP step')."""
@@ -293,6 +294,7 @@ class TestProjections:
 
 
 class TestGraftEntry:
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import sys
         sys.path.insert(0, "/root/repo")

@@ -92,7 +92,10 @@ class TestSparseFlashParity:
         assert out_bf16.dtype == q.dtype
         assert_close("splash bf16 vs masked sdpa", ref, out_bf16, 2e-2)
 
-    @pytest.mark.parametrize("frames,hw", [(4, 640), (8, 568)])
+    @pytest.mark.parametrize(
+        "frames,hw",
+        [(4, 640), pytest.param(8, 568, marks=pytest.mark.slow)],
+    )
     def test_radial_kernel_interpret_matches_oracle(self, key, frames, hw):
         """The custom analytic-mask forward kernel (the TPU production
         forward), including the q/kv padding rows (hw=568 pads 4544->4608
@@ -138,6 +141,7 @@ class TestSparseFlashParity:
         for a, b_, n in zip(g1, g2, "qkv"):
             assert_close(f"splash d{n} vs oracle", b_, a, 2e-5)
 
+    @pytest.mark.slow
     def test_radial_schedule_is_conservative(self):
         """Every allowed token pair must fall inside a scheduled tile."""
         from mhla_tpu.kernels.sparse_attention import _radial_schedule
@@ -174,6 +178,7 @@ class TestWanSparseWiring:
             "mhla_uni", "sparse", "sparse", "flash",
         ]
 
+    @pytest.mark.slow
     def test_sparse_model_forward_and_dense_guard(self, key):
         import dataclasses
 

@@ -29,6 +29,7 @@ def _make_images(root, n_classes=2, per_class=3, size=40):
 
 
 class TestVAE2D:
+    @pytest.mark.slow
     def test_encode_decode_shapes(self, key):
         vae = VAE2D(TINY)
         x = jax.random.normal(key, (1, 32, 32, 3)) * 0.5

@@ -231,6 +231,7 @@ class TestModelVarlen:
         return MHLALMConfig(**base)
 
     @pytest.mark.parametrize("hybrid", [False, True])
+    @pytest.mark.slow
     def test_packed_equals_separate(self, key, hybrid):
         from mhla_tpu.models.gla_lm import MHLAForCausalLM
 

@@ -38,6 +38,7 @@ def tiny_inputs(key, cfg=TINY, f=4, h=8, w=8):
 
 
 class TestWan:
+    @pytest.mark.slow
     def test_forward_shape_roundtrip(self, key):
         model = WanModel(TINY)
         x, t, ctx = tiny_inputs(key)
@@ -83,6 +84,7 @@ class TestWan:
         assert "k_img" in params["params"]["blocks_0"]["cross_attn"]
 
     @pytest.mark.parametrize("solver", ["flow_euler", "unipc", "sa-solver"])
+    @pytest.mark.slow
     def test_i2v_sampling_with_clip_features(self, key, solver):
         """CLIP tower -> sample_video_latents wiring (CFG doubles the batch;
         clip features must tile along)."""
